@@ -1,0 +1,74 @@
+"""Run logging, metric averaging, timing.
+
+TPU-native replacement for the reference's ``utils.log`` (print + append to
+``save/<name>/log.txt``, ``sun_meta_training/utils/__init__.py:15-25``),
+``Averager``/``Timer`` (``:28-51``), and the tensorboardX scalar stream: metrics
+are additionally appended as JSON lines (``metrics.jsonl``) so dashboards need no
+torch dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class Averager:
+    """Running weighted mean (mirrors reference semantics exactly)."""
+
+    def __init__(self) -> None:
+        self.n = 0.0
+        self.v = 0.0
+
+    def add(self, v: float, n: float = 1.0) -> None:
+        self.v = (self.v * self.n + float(v) * n) / (self.n + n)
+        self.n += n
+
+    def item(self) -> float:
+        return self.v
+
+
+class Timer:
+    def __init__(self) -> None:
+        self.v = time.time()
+
+    def s(self) -> None:
+        self.v = time.time()
+
+    def t(self) -> float:
+        return time.time() - self.v
+
+
+def time_str(t: float) -> str:
+    if t >= 3600:
+        return f"{t / 3600:.1f}h"
+    if t >= 60:
+        return f"{t / 60:.1f}m"
+    return f"{t:.1f}s"
+
+
+class RunLogger:
+    """Text log + JSONL metric stream for one training/eval run."""
+
+    def __init__(self, save_dir: Optional[str] = None, stdout: bool = True):
+        self.save_dir = save_dir
+        self.stdout = stdout
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+
+    def log(self, msg: str) -> None:
+        if self.stdout:
+            print(msg, flush=True)
+        if self.save_dir is not None:
+            with open(os.path.join(self.save_dir, "log.txt"), "a") as f:
+                print(msg, file=f)
+
+    def metrics(self, step: int, **values: Any) -> None:
+        if self.save_dir is None:
+            return
+        rec: Dict[str, Any] = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in values.items()})
+        with open(os.path.join(self.save_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")

@@ -1,0 +1,37 @@
+"""RNG plumbing.
+
+The reference pins global seeds (torch/cuda/numpy, seed 12345 at
+``sun_train_teacher/train_classifier.py:23-29`` and
+``test_phase/test_few_shot.py:27-34``) and re-seeds numpy per epoch for
+reproducible val episodes (``sun_meta_training/train_meta.py:147``). JAX is
+functional: we thread explicit ``jax.random.key`` values. These helpers keep the
+reference's *semantics* — one root seed, per-epoch derived episode streams —
+without global state.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+
+DEFAULT_SEED = 12345  # the reference's fixed seed
+
+
+def root_key(seed: int = DEFAULT_SEED) -> jax.Array:
+    return jax.random.key(seed)
+
+
+def epoch_key(root: jax.Array, epoch: int) -> jax.Array:
+    """Derived stream for one epoch (replaces ``np.random.seed(epoch)``)."""
+    return jax.random.fold_in(root, epoch)
+
+
+def step_keys(key: jax.Array, n: int) -> jax.Array:
+    return jax.random.split(key, n)
+
+
+def np_rng(seed: int = DEFAULT_SEED, epoch: int = 0) -> np.random.Generator:
+    """Host-side generator for episode sampling / data order."""
+    return np.random.Generator(np.random.Philox(key=seed, counter=epoch))

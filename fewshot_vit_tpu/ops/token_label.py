@@ -1,0 +1,70 @@
+"""SUN self-promoted supervision: teacher patch logits -> soft token labels.
+
+Pure-jnp re-design of ``sun_meta_training/offline.py:34-76``
+(``SoftTargetCrossEntropy`` and ``generate_softlabel``). Semantics preserved
+exactly; layout is NHWC/(B,T,C) token-major so the whole loss fuses into the
+jitted train step (the reference runs this on flattened NCHW tensors).
+
+Definitions (matching the reference):
+  * off = smoothing / C, on = 1 - smoothing + off   (C = number of base classes;
+    note off uses C, not C+1, exactly as ``offline.py:58-60``).
+  * each patch's label over C+1 classes is `off` everywhere and `on` at the
+    teacher's top-k classes;
+  * the ``bg`` patches with the lowest max-logit ("least salient") instead get
+    `on` at the background class C.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def generate_soft_label(
+    logits: jax.Array,
+    smoothing: float = 0.1,
+    k: int = 5,
+    bg_tokens: int = 10,
+) -> jax.Array:
+    """Teacher patch logits (B, T, C) -> soft labels (B, T, C+1).
+
+    T = number of patch tokens (H*W flattened), C = base-class count.
+    ``bg_tokens`` patches per image with the lowest max-logit are labeled as the
+    extra background class C (reference ``bp=bg_token_num``, default 10).
+    """
+    b, t, c = logits.shape
+    off = smoothing / c
+    on = 1.0 - smoothing + off
+
+    # Foreground mask: the (T - bg) most salient patches keep class labels.
+    saliency = jnp.max(logits, axis=-1)  # (B, T)
+    _, keep_idx = jax.lax.top_k(saliency, t - bg_tokens)  # (B, T-bg)
+    fg_mask = (
+        jnp.zeros((b, t), logits.dtype)
+        .at[jnp.arange(b)[:, None], keep_idx]
+        .set(1.0)
+    )  # (B, T) 1=foreground
+
+    # Top-k class one-hot per patch, over C+1 classes (background never in top-k).
+    _, top_idx = jax.lax.top_k(logits, k)  # (B, T, k)
+    topk_hot = jnp.zeros((b, t, c + 1), logits.dtype)
+    topk_hot = topk_hot.at[
+        jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], top_idx
+    ].set(1.0)
+
+    fg_label = off + topk_hot * (on - off)  # (B, T, C+1)
+    bg_label = jnp.full((c + 1,), off, logits.dtype).at[c].set(on)  # (C+1,)
+
+    m = fg_mask[..., None]
+    return fg_label * m + bg_label[None, None, :] * (1.0 - m)
+
+
+def soft_target_cross_entropy(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """Mean over tokens of sum(-target * log_softmax(logits)).
+
+    logits, target: (..., C). Matches ``offline.py:34-45`` (without the
+    repeat-broadcast branch — shapes are static here).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    loss = -jnp.sum(target * logp, axis=-1)
+    return jnp.mean(loss)
