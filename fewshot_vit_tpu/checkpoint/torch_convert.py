@@ -1,0 +1,168 @@
+"""PyTorch checkpoint -> flax variable conversion.
+
+Needed to load the reference's released ``.pth`` checkpoints (format documented
+at SURVEY.md §2.1: dict with ``model``, ``model_args``, ``model_sd``; save block
+``sun_train_teacher/train_classifier.py:247-274``) and reproduce the published
+67.8/83.3 miniImageNet numbers on TPU.
+
+Strategy: walk the *flax* variable tree (the target), derive each leaf's torch
+state-dict key from the module path via per-architecture rules, and transpose
+layouts (torch OIHW conv -> flax HWIO; torch 1x1-conv -> flax Dense (I, O);
+torch NCHW pos-embed -> NHWC). Every torch tensor must be consumed exactly once
+(except ``num_batches_tracked``) or conversion fails loudly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Tuple
+
+import numpy as np
+
+# --- layout transposes ----------------------------------------------------
+
+def conv_t2j(w: np.ndarray) -> np.ndarray:
+    """torch conv (O, I/g, kh, kw) -> flax (kh, kw, I/g, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def dense_from_1x1(w: np.ndarray) -> np.ndarray:
+    """torch 1x1 conv (O, I, 1, 1) -> flax Dense kernel (I, O)."""
+    assert w.ndim == 4 and w.shape[2] == w.shape[3] == 1, w.shape
+    return np.transpose(w[:, :, 0, 0], (1, 0))
+
+
+def dense_t2j(w: np.ndarray) -> np.ndarray:
+    """torch Linear (O, I) -> flax Dense kernel (I, O)."""
+    return np.transpose(w, (1, 0))
+
+
+def pos_embed_t2j(w: np.ndarray) -> np.ndarray:
+    """torch (1, C, H, W) -> flax (1, H, W, C)."""
+    return np.transpose(w, (0, 2, 3, 1))
+
+
+# --- generic tree walk ------------------------------------------------------
+
+def _flatten(tree: Mapping[str, Any], prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    out: Dict[Tuple[str, ...], Any] = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return out
+
+
+def convert_by_rule(
+    flax_vars: Mapping[str, Any],
+    torch_sd: Mapping[str, np.ndarray],
+    key_fn: Callable[[Tuple[str, ...], Tuple[str, ...]], str],
+) -> Dict[str, Any]:
+    """Fill a flax variable tree ({'params':..., 'batch_stats':...}) from a
+    torch state dict. ``key_fn(collection_path, leaf_path) -> torch key``.
+
+    Values are transposed based on the flax leaf name and the shapes involved.
+    Raises on any unconsumed torch tensor or shape mismatch.
+    """
+    sd = {k: np.asarray(v) for k, v in torch_sd.items()}
+    used = set()
+    new_flat: Dict[Tuple[str, ...], Any] = {}
+
+    for col, tree in flax_vars.items():
+        for path, leaf in _flatten(tree).items():
+            tkey = key_fn((col,), path)
+            if tkey not in sd:
+                raise KeyError(f"torch key {tkey!r} (for flax {col}/{'/'.join(path)}) not in state dict")
+            w = sd[tkey]
+            used.add(tkey)
+            name = path[-1]
+            target_shape = np.shape(leaf)
+            if name == "kernel":
+                if w.ndim == 4 and len(target_shape) == 4:
+                    w = conv_t2j(w)
+                elif w.ndim == 4 and len(target_shape) == 2:
+                    w = dense_from_1x1(w)
+                elif w.ndim == 2 and len(target_shape) == 2:
+                    w = dense_t2j(w)
+                else:
+                    raise ValueError(f"kernel rank mismatch at {path}: torch {w.shape} -> flax {target_shape}")
+            elif name.startswith("pos_embed"):
+                w = pos_embed_t2j(w)
+            if tuple(w.shape) != tuple(target_shape):
+                raise ValueError(f"shape mismatch at {col}/{'/'.join(path)}: torch {w.shape} vs flax {target_shape}")
+            new_flat[(col,) + path] = w.astype(np.asarray(leaf).dtype)
+
+    leftover = {k for k in sd if k not in used and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise ValueError(f"unconsumed torch tensors: {sorted(leftover)[:10]} (+{max(0, len(leftover)-10)} more)")
+
+    nested = _unflatten(new_flat)
+    return {col: nested[col] for col in flax_vars}
+
+
+# --- per-architecture key rules ---------------------------------------------
+
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+
+
+def visformer_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """Flax path -> torch key for the Visformer family.
+
+    Examples:
+      params/stem/conv1/kernel           -> stem.conv1.weight
+      params/stem/downsample_bn/scale    -> stem.downsample.1.weight
+      params/stage2_0/attn/qkv/kernel    -> stage2.0.attn.qkv.weight
+      params/stage1_3/norm2/bn/scale     -> stage1.3.norm2.bn.weight
+      batch_stats/norm/bn/mean           -> norm.bn.running_mean
+      params/pos_embed1                  -> pos_embed1
+    """
+    parts = list(path)
+    leaf = parts.pop()
+    if not parts and leaf.startswith("pos_embed"):
+        return prefix + leaf
+    torch_parts = []
+    for p in parts:
+        if p.startswith("stage") and "_" in p:
+            s, i = p.split("_")
+            torch_parts += [s, i]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf in _BN_LEAF and (parts[-1].startswith("bn") or parts[-1] == "bn"
+                             or parts[-1].startswith("downsample_bn")):
+        leaf = _BN_LEAF[leaf]
+    elif leaf == "kernel":
+        leaf = "weight"
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+def convert_visformer(flax_vars: Mapping[str, Any], torch_sd: Mapping[str, np.ndarray],
+                      prefix: str = "") -> Dict[str, Any]:
+    """Convert a reference Visformer state dict. ``prefix`` strips e.g. 'encoder.'."""
+    return convert_by_rule(
+        flax_vars, torch_sd, lambda col, path: visformer_key(col, path, prefix)
+    )
+
+
+def strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Select + strip a key prefix (reference nests encoders as 'encoder.*',
+    tolerating 'module.' DataParallel wrappers — ``Models/utils.py:76-99``)."""
+    out = {}
+    for k, v in sd.items():
+        k2 = k[len("module."):] if k.startswith("module.") else k
+        if k2.startswith(prefix):
+            out[k2[len(prefix):]] = v
+    return out

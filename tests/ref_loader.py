@@ -1,0 +1,46 @@
+"""Load reference (torch) model files from /root/reference for parity testing.
+
+The reference modules use package-relative imports (``from .models import
+register``), so we synthesize a throwaway package per phase dir. This imports
+the reference for *numerical cross-checking only* — the framework itself never
+depends on it.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def available() -> bool:
+    if not os.path.isdir(REF_ROOT):
+        return False
+    try:
+        import torch  # noqa: F401
+        import einops  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def load_ref_model_module(phase: str, modname: str):
+    """e.g. load_ref_model_module('sun_meta_training', 'visformer')."""
+    pkg_dir = os.path.join(REF_ROOT, phase, "models")
+    pkg_name = f"refzoo_{phase}"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [pkg_dir]
+        sys.modules[pkg_name] = pkg
+    for sub in ("models", modname):
+        full = f"{pkg_name}.{sub}"
+        if full in sys.modules:
+            continue
+        spec = importlib.util.spec_from_file_location(
+            full, os.path.join(pkg_dir, f"{sub}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules[f"{pkg_name}.{modname}"]
