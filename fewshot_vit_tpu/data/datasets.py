@@ -1,0 +1,183 @@
+"""Datasets as in-memory uint8 arrays + labels (host side).
+
+Re-design of the reference data layer (``sun_meta_training/datasets/*.py``,
+``test_phase/datasets/*.py``): every dataset materializes to a uniform
+``ArrayDataset`` — uint8 images (N, H, W, 3), int labels, ``n_classes`` — so the
+episodic pipeline, device feed, and eval engine are dataset-agnostic. Loaders
+cover the reference's on-disk formats:
+
+  * ``mini-imagenet``: pickled dict {'data': uint8 imgs, 'labels'} per split
+    (``test_phase/datasets/mini_imagenet.py:24-49``), files
+    ``miniImageNet_category_split_{split}.pickle`` with train -> train_phase_train;
+  * ``tiered-imagenet``: ``{split}_images.npz`` + ``{split}_labels.pkl``, BGR
+    flip, optional ``mini=True`` 64-class/600-image subsample
+    (``sun_meta_training/datasets/tiered_imagenet.py:126-161``);
+  * ``cifar-fs``: folder tree ``meta-{split}/<class>/*.png``
+    (``sun_meta_training/datasets/cifar_fs.py:99-140``);
+  * ``image-folder``: generic folder + split.json (ImageNet-800);
+  * ``synthetic``: deterministic generated data for tests/benchmarks (no
+    reference equivalent — the reference has no test suite at all).
+
+Eval geometry (resize/crop) is applied once at load; see ``transforms.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core.registry import datasets
+from .transforms import (
+    CIFAR_MEAN,
+    CIFAR_STD,
+    MEAN,
+    STD,
+    resize_center_crop,
+    resize_short,
+)
+
+DEFAULT_ROOT = "./materials"
+
+
+@dataclass
+class ArrayDataset:
+    images: np.ndarray  # uint8 (N, H, W, 3)
+    labels: np.ndarray  # int32 (N,)
+    n_classes: int
+    mean: np.ndarray = field(default_factory=lambda: MEAN)
+    std: np.ndarray = field(default_factory=lambda: STD)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def _apply_eval_geometry(images: np.ndarray, image_size: int, protocol: str) -> np.ndarray:
+    if images.shape[1] == image_size and images.shape[2] == image_size:
+        return images
+    if protocol == "resize_crop":
+        return np.stack([resize_center_crop(im, image_size + 8, image_size) for im in images])
+    return np.stack([resize_short(im, image_size) for im in images])
+
+
+@datasets.register("mini-imagenet")
+def mini_imagenet(
+    root_path: str = DEFAULT_ROOT,
+    split: str = "train",
+    image_size: int = 80,
+    protocol: str = "resize_crop",
+    **_: object,
+) -> ArrayDataset:
+    split_tag = "train_phase_train" if split == "train" else split
+    path = os.path.join(root_path, f"miniImageNet_category_split_{split_tag}.pickle")
+    with open(path, "rb") as f:
+        pack = pickle.load(f, encoding="latin1")
+    images = np.asarray(pack["data"], np.uint8)
+    labels = np.asarray(pack["labels"], np.int64)
+    labels = labels - labels.min()
+    images = _apply_eval_geometry(images, image_size, protocol)
+    return ArrayDataset(images, labels.astype(np.int32), int(labels.max()) + 1)
+
+
+@datasets.register("tiered-imagenet")
+def tiered_imagenet(
+    root_path: str = DEFAULT_ROOT,
+    split: str = "train",
+    image_size: int = 80,
+    protocol: str = "resize_crop",
+    mini: bool = False,
+    **_: object,
+) -> ArrayDataset:
+    split_tag = split
+    images = np.load(os.path.join(root_path, f"{split_tag}_images.npz"))["images"]
+    images = images[:, :, :, ::-1]  # BGR -> RGB flip (reference :137)
+    with open(os.path.join(root_path, f"{split_tag}_labels.pkl"), "rb") as f:
+        pack = pickle.load(f, encoding="latin1")
+    labels = np.asarray(pack["labels"], np.int64)
+    labels = labels - labels.min()
+    if mini:  # 64-class / 600-image subsample (reference :146-161)
+        rng = np.random.RandomState(0)
+        classes = rng.choice(int(labels.max()) + 1, 64, replace=False)
+        keep, new_labels = [], []
+        for new_c, c in enumerate(sorted(classes)):
+            idx = np.where(labels == c)[0][:600]
+            keep.append(idx)
+            new_labels.append(np.full(len(idx), new_c, np.int64))
+        keep = np.concatenate(keep)
+        images, labels = images[keep], np.concatenate(new_labels)
+    images = _apply_eval_geometry(np.ascontiguousarray(images), image_size, protocol)
+    return ArrayDataset(images, labels.astype(np.int32), int(labels.max()) + 1)
+
+
+@datasets.register("cifar-fs")
+def cifar_fs(
+    root_path: str = DEFAULT_ROOT,
+    split: str = "train",
+    image_size: int = 32,
+    **_: object,
+) -> ArrayDataset:
+    from PIL import Image
+
+    split_dir = os.path.join(root_path, f"meta-{split}")
+    classes = sorted(os.listdir(split_dir))
+    imgs, labels = [], []
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(split_dir, cname)
+        for fname in sorted(os.listdir(cdir)):
+            im = np.asarray(Image.open(os.path.join(cdir, fname)).convert("RGB"), np.uint8)
+            imgs.append(im)
+            labels.append(ci)
+    images = np.stack(imgs)
+    return ArrayDataset(
+        images, np.asarray(labels, np.int32), len(classes),
+        mean=CIFAR_MEAN, std=CIFAR_STD,
+    )
+
+
+@datasets.register("image-folder")
+def image_folder(
+    root_path: str = DEFAULT_ROOT,
+    split: str = "train",
+    image_size: int = 80,
+    split_file: str = "split.json",
+    **_: object,
+) -> ArrayDataset:
+    """Generic class-folder dataset with a split.json listing class names
+    (reference ``sun_meta_training/datasets/image_folder.py:12-67``)."""
+    from PIL import Image
+
+    with open(os.path.join(root_path, split_file)) as f:
+        split_classes = json.load(f)[split]
+    imgs, labels = [], []
+    for ci, cname in enumerate(split_classes):
+        cdir = os.path.join(root_path, "images", cname)
+        for fname in sorted(os.listdir(cdir)):
+            im = Image.open(os.path.join(cdir, fname)).convert("RGB")
+            imgs.append(resize_center_crop(np.asarray(im, np.uint8), image_size + 8, image_size))
+            labels.append(ci)
+    return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(split_classes))
+
+
+@datasets.register("synthetic")
+def synthetic(
+    n_classes: int = 20,
+    n_per_class: int = 40,
+    image_size: int = 80,
+    seed: int = 0,
+    **_: object,
+) -> ArrayDataset:
+    """Deterministic class-structured random images for tests and benchmarks.
+
+    Each class has a random base pattern; samples are noisy copies, so metric
+    heads achieve above-chance accuracy (sanity signal for the eval engine).
+    """
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (n_classes, image_size, image_size, 3))
+    noise = rng.integers(-40, 40, (n_classes * n_per_class, image_size, image_size, 3))
+    labels = np.repeat(np.arange(n_classes), n_per_class)
+    images = np.clip(base[labels] + noise, 0, 255).astype(np.uint8)
+    return ArrayDataset(images, labels.astype(np.int32), n_classes)

@@ -1,0 +1,5 @@
+"""Few-shot heads. Importing this package registers all heads."""
+
+from .classifier import Classifier, LinearClassifier, NNClassifier  # noqa: F401
+from .meta_baseline import MetaBaseline  # noqa: F401
+from .token_label import TokenLabel, TokenLabelEpisodic  # noqa: F401

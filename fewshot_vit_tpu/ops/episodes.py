@@ -16,15 +16,17 @@ import jax.numpy as jnp
 def split_shot_query(
     data: jax.Array, way: int, shot: int, query: int, ep_per_batch: int = 1
 ) -> Tuple[jax.Array, jax.Array]:
-    """Flat batch (E*way*(shot+query), ...img) -> shot (E,way,shot,...), query (E,way,query,...).
+    """Flat batch (E*way*(shot+query), ...img) -> shot (E,way,shot,...), query (E,way*query,...).
 
-    Index order must match the episodic sampler's emission order
-    (episode-major, class-major, item-minor — see data.sampler.EpisodeSampler).
+    Query is flattened way-major, matching the reference meta-tuning copy
+    (``meta_tuning_sun_m/utils/few_shot.py:4-10``) and the label order of
+    ``make_nk_label``. Index order must match the episodic sampler's emission
+    order (episode-major, class-major, item-minor — see data.sampler).
     """
     img_shape = data.shape[1:]
     data = data.reshape(ep_per_batch, way, shot + query, *img_shape)
     x_shot = data[:, :, :shot]
-    x_query = data[:, :, shot:]
+    x_query = data[:, :, shot:].reshape(ep_per_batch, way * query, *img_shape)
     return x_shot, x_query
 
 

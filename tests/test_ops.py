@@ -67,10 +67,11 @@ class TestEpisodes:
         data = jnp.arange(n).reshape(n, 1, 1, 1)
         xs, xq = split_shot_query(data, way, shot, query, ep)
         assert xs.shape == (ep, way, shot, 1, 1, 1)
-        assert xq.shape == (ep, way, query, 1, 1, 1)
+        assert xq.shape == (ep, way * query, 1, 1, 1)
         # episode 0, class 1 items are indices [6..11]; shots = first 2
         assert np.asarray(xs)[0, 1].reshape(-1).tolist() == [6, 7]
-        assert np.asarray(xq)[0, 1].reshape(-1).tolist() == [8, 9, 10, 11]
+        # flattened query keeps way-major order: class-1 queries at rows 4..7
+        assert np.asarray(xq)[0].reshape(-1).tolist()[4:8] == [8, 9, 10, 11]
 
     def test_make_nk_label(self):
         lab = make_nk_label(3, 2, ep_per_batch=2)
