@@ -1,0 +1,71 @@
+"""Benchmark: full-protocol episodic eval throughput on the local TPU chip.
+
+Protocol: 5-way 1-shot 15-query episodes, Visformer-micro-80 MetaBaseline,
+full re-encode of all 80 images per episode (NO feature caching — matching the
+reference's ``test_phase/test_few_shot.py`` work per episode), fp32.
+
+Dataset: real miniImageNet test pickle if present under ``./materials``,
+otherwise a synthetic stand-in with the same test-split geometry
+(20 classes x 600 images, 80x80 uint8). Throughput is data-independent.
+
+Baseline: the north-star target of >=10k eval episodes/min on a TPU v4-8
+(4 chips) => 41.67 episodes/sec/chip. vs_baseline = measured / 41.67.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fewshot_vit_tpu.core import models, datasets
+    import fewshot_vit_tpu.models  # noqa: F401
+    import fewshot_vit_tpu.heads  # noqa: F401
+    import fewshot_vit_tpu.data.datasets  # noqa: F401
+    from fewshot_vit_tpu.eval.episodic import evaluate
+
+    way, shot, query = 5, 1, 15
+    ep_per_batch = 32
+    n_episodes = 1024
+
+    if os.path.exists("./materials/miniImageNet_category_split_test.pickle"):
+        ds = datasets.make("mini-imagenet", root_path="./materials", split="test")
+    else:
+        ds = datasets.make("synthetic", n_classes=20, n_per_class=600, image_size=80, seed=0)
+
+    head = models.make("meta-baseline", encoder="visformer_micro_80")
+    xs = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
+    xq = jnp.zeros((1, way * query, 80, 80, 3), jnp.float32)
+    variables = head.init(jax.random.key(0), xs, xq)
+    images_dev = jax.device_put(ds.images)
+
+    # warmup / compile
+    evaluate(head, variables, ds, n_episodes=ep_per_batch, way=way, shot=shot,
+             query=query, ep_per_batch=ep_per_batch, seed=1, images_dev=images_dev)
+
+    t0 = time.perf_counter()
+    acc, ci, accs = evaluate(
+        head, variables, ds, n_episodes=n_episodes, way=way, shot=shot,
+        query=query, ep_per_batch=ep_per_batch, seed=2, images_dev=images_dev,
+    )
+    dt = time.perf_counter() - t0
+    eps_per_sec = n_episodes / dt
+
+    target_per_chip = 10000.0 / 60.0 / 4.0  # v4-8 north star, per chip
+    print(json.dumps({
+        "metric": "eval_episodes_per_sec_per_chip_5way1shot_full_protocol",
+        "value": round(eps_per_sec, 2),
+        "unit": "episodes/s/chip",
+        "vs_baseline": round(eps_per_sec / target_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

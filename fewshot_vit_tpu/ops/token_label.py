@@ -33,6 +33,10 @@ def generate_soft_label(
     extra background class C (reference ``bp=bg_token_num``, default 10).
     """
     b, t, c = logits.shape
+    if not 0 <= bg_tokens < t:
+        raise ValueError(f"bg_tokens={bg_tokens} must be in [0, {t}) for {t} patch tokens")
+    if not 0 < k <= c:
+        raise ValueError(f"k={k} must be in (0, {c}] for {c} classes")
     off = smoothing / c
     on = 1.0 - smoothing + off
 

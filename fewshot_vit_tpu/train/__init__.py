@@ -1,0 +1,22 @@
+from .optim import (
+    make_optimizer,
+    cosine_warmup_schedule,
+    multistep_schedule,
+    zero_nan_grads,
+    decay_mask,
+)
+from .state import TrainState, ema_update
+from .steps import make_pretrain_step, make_sun_step, make_meta_tune_step
+
+__all__ = [
+    "make_optimizer",
+    "cosine_warmup_schedule",
+    "multistep_schedule",
+    "zero_nan_grads",
+    "decay_mask",
+    "TrainState",
+    "ema_update",
+    "make_pretrain_step",
+    "make_sun_step",
+    "make_meta_tune_step",
+]

@@ -1,0 +1,175 @@
+"""Train-step tests: learning signal, SUN loss wiring, freeze_bn, and
+data+tensor-parallel execution on the emulated 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from fewshot_vit_tpu.core import models
+import fewshot_vit_tpu.models  # noqa: F401
+import fewshot_vit_tpu.heads  # noqa: F401
+from fewshot_vit_tpu.heads import Classifier, LinearClassifier, MetaBaseline, TokenLabel
+from fewshot_vit_tpu.models import Visformer
+from fewshot_vit_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from fewshot_vit_tpu.train import (
+    TrainState,
+    make_meta_tune_step,
+    make_optimizer,
+    make_pretrain_step,
+    make_sun_step,
+    cosine_warmup_schedule,
+    multistep_schedule,
+)
+
+from .test_heads_eval import TinyEncoder
+
+
+def small_batch(n=32, img=16, n_classes=6, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (n_classes, img, img, 3))
+    labels = rng.integers(0, n_classes, n)
+    noise = rng.integers(-30, 30, (n, img, img, 3))
+    images = np.clip(base[labels] + noise, 0, 255).astype(np.uint8)
+    return jnp.asarray(images), jnp.asarray(labels.astype(np.int32))
+
+
+class TestSchedules:
+    def test_cosine_warmup(self):
+        s = cosine_warmup_schedule(1e-3, 10, epochs=10, warmup_epochs=2, warmup_lr=1e-6, min_lr=1e-5)
+        assert float(s(0)) == pytest.approx(1e-6, rel=1e-2)
+        assert float(s(20)) == pytest.approx(1e-3, rel=1e-3)
+        assert float(s(100)) == pytest.approx(1e-5, rel=1e-2)
+
+    def test_multistep_with_warmup(self):
+        s = multistep_schedule(1e-2, 10, milestones=[2, 4], warmup_epochs=1)
+        assert float(s(0)) == pytest.approx(1e-6, rel=1e-2)
+        assert float(s(10)) == pytest.approx(1e-2, rel=1e-3)
+        assert float(s(25)) == pytest.approx(1e-3, rel=1e-3)
+        assert float(s(45)) == pytest.approx(1e-4, rel=1e-3)
+
+
+class TestPretrainStep:
+    def test_loss_decreases(self):
+        model = Classifier(encoder=TinyEncoder(), classifier=LinearClassifier(6, name="classifier"))
+        images, labels = small_batch()
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(variables["params"], "adamw", lr=5e-3, weight_decay=0.01)
+        state = TrainState.create(variables, tx)
+        step = make_pretrain_step(model, tx)
+        first = last = None
+        for i in range(30):
+            state, m = step(state, images, labels, jax.random.key(i))
+            if first is None:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert last < first * 0.5
+        assert int(state.step) == 30
+
+
+class TestSunStep:
+    def test_losses_wired(self):
+        student = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        teacher = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        images, labels = small_batch()
+        sv = student.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tv = teacher.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(sv["params"], "adamw", lr=1e-3)
+        state = TrainState.create(sv, tx)
+        step = make_sun_step(student, teacher, tx, soft_k=2, bg_tokens=1, token_weight=0.5)
+        state, m = step(state, tv, images, images, labels, jax.random.key(2))
+        assert np.isfinite(m["loss"]) and np.isfinite(m["token_loss"])
+        # loss decomposition: loss == cls + 0.5 * token
+        assert float(m["loss"]) == pytest.approx(
+            float(m["cls_loss"]) + 0.5 * float(m["token_loss"]), rel=1e-5
+        )
+
+    def test_token_weight_zero_is_pure_ce(self):
+        student = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        teacher = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        images, labels = small_batch()
+        sv = student.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tv = teacher.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(sv["params"], "adamw", lr=1e-3)
+        step = make_sun_step(student, teacher, tx, soft_k=2, bg_tokens=1, token_weight=0.0)
+        _, m = step(TrainState.create(sv, tx), tv, images, images, labels, jax.random.key(2))
+        assert float(m["loss"]) == pytest.approx(float(m["cls_loss"]), rel=1e-6)
+
+
+class TestMetaTuneStep:
+    def _setup(self, freeze_bn=False):
+        head = MetaBaseline(encoder=TinyEncoder())
+        e, way, shot, query = 2, 4, 1, 5
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, (8, 16, 16, 3))
+        cls = rng.integers(0, 8, (e, way))
+        shots = np.clip(base[cls][:, :, None] + rng.integers(-20, 20, (e, way, shot, 16, 16, 3)), 0, 255).astype(np.uint8)
+        queries_cls = np.repeat(cls, query, axis=1)
+        queries = np.clip(base[queries_cls] + rng.integers(-20, 20, (e, way * query, 16, 16, 3)), 0, 255).astype(np.uint8)
+        xs, xq = jnp.asarray(shots), jnp.asarray(queries)
+        variables = head.init(jax.random.key(0), xs, xq)
+        tx = make_optimizer(variables["params"], "sgd", lr=1e-2)
+        state = TrainState.create(variables, tx)
+        step = make_meta_tune_step(head, tx, way=way, query=query, ep_per_batch=e, freeze_bn=freeze_bn)
+        return state, step, xs, xq
+
+    def test_loss_decreases(self):
+        state, step, xs, xq = self._setup()
+        first = last = None
+        for i in range(25):
+            state, m = step(state, xs, xq, jax.random.key(i))
+            if first is None:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert last < first
+
+    def test_freeze_bn_keeps_stats(self):
+        state, step, xs, xq = self._setup(freeze_bn=True)
+        new_state, _ = step(state, xs, xq, jax.random.key(0))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.batch_stats),
+            jax.tree_util.tree_leaves(new_state.batch_stats),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestShardedStep:
+    def test_dp_tp_pretrain_step(self, devices8):
+        """Full pretrain step over a 4x2 (data x model) mesh with tensor-parallel
+        wide kernels — the multi-chip path the driver dry-runs."""
+        mesh = make_mesh({"data": 4, "model": 2}, devices8)
+        enc = Visformer(
+            img_size=32, init_channels=16, embed_dim=64, depth=(1, 1, 1),
+            num_heads=4, attn_stage="011", spatial_conv="100",
+        )
+        model = Classifier(encoder=enc, classifier=LinearClassifier(6, name="classifier"))
+        images, labels = small_batch(n=16, img=32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+        pshard = param_shardings(mesh, variables["params"], min_features=64)
+        params = jax.tree_util.tree_map(jax.device_put, variables["params"], pshard)
+        # at least one kernel actually tensor-sharded
+        assert any(
+            s.spec != jax.sharding.PartitionSpec()
+            for s in jax.tree_util.tree_leaves(pshard)
+        )
+        tx = make_optimizer(params, "adamw", lr=1e-3)
+        state = TrainState.create({"params": params, "batch_stats": variables["batch_stats"]}, tx)
+        state = state.replace(
+            batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+            step=jax.device_put(state.step, replicated(mesh)),
+        )
+        step = make_pretrain_step(model, tx)
+        images = jax.device_put(images, batch_sharding(mesh, images.ndim))
+        labels = jax.device_put(labels, batch_sharding(mesh, 1))
+        new_state, m = step(state, images, labels, jax.random.key(1))
+        assert np.isfinite(float(m["loss"]))
+        # params keep their tensor sharding through the update
+        qkv = new_state.params["encoder"]["stage2_0"]["attn"]["qkv"]["kernel"]
+        assert "model" in str(qkv.sharding.spec)
