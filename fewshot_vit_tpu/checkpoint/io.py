@@ -1,0 +1,140 @@
+"""Checkpoint save/load (orbax) + reference-.pth ingestion.
+
+Replaces the reference's torch.save dict format (SURVEY.md §2.1: ``{file,
+config, model, model_args, model_sd, training{...}}``, save block
+``sun_train_teacher/train_classifier.py:247-274``) and its policies:
+``epoch-last`` every epoch, ``epoch-N`` periodically, ``max-va`` on best val.
+
+Here: orbax for arrays (async-capable, TPU-friendly), JSON sidecar for
+metadata (model name + args + epoch + val), and ``load_torch_checkpoint`` to
+ingest the reference's released ``.pth`` files through the layout converter so
+published accuracies are reproducible on TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_variables(path: str, variables: Any, meta: Optional[Dict] = None) -> None:
+    """Save a variable/state pytree + JSON meta at ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr = _ocp().StandardCheckpointer()
+    ckptr.save(os.path.join(path, "arrays"), variables)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2, default=str)
+
+
+def load_variables(path: str, target: Optional[Any] = None) -> Tuple[Any, Dict]:
+    """Load (variables, meta). ``target`` (a matching pytree of arrays/shapes)
+    restores with correct structure/dtypes; without it, restores raw."""
+    path = os.path.abspath(path)
+    ckptr = _ocp().StandardCheckpointer()
+    if target is not None:
+        variables = ckptr.restore(os.path.join(path, "arrays"), target=target)
+    else:
+        variables = ckptr.restore(os.path.join(path, "arrays"))
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return variables, meta
+
+
+class CheckpointPolicy:
+    """epoch-last / epoch-N / max-va save policy (reference
+    ``train_classifier.py:253-274``)."""
+
+    def __init__(self, save_dir: str, save_epoch: Optional[int] = None):
+        self.save_dir = save_dir
+        self.save_epoch = save_epoch
+        self.best_va = -float("inf")
+
+    def on_epoch(self, epoch: int, variables: Any, meta: Dict, va: Optional[float] = None) -> None:
+        meta = dict(meta, epoch=epoch, val_acc=va)
+        save_variables(os.path.join(self.save_dir, "epoch-last"), variables, meta)
+        if self.save_epoch and epoch % self.save_epoch == 0:
+            save_variables(os.path.join(self.save_dir, f"epoch-{epoch}"), variables, meta)
+        if va is not None and va > self.best_va:
+            self.best_va = va
+            save_variables(os.path.join(self.save_dir, "max-va"), variables, meta)
+
+
+# --- reference .pth ingestion -------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
+    """Read a reference checkpoint file -> (flat numpy state dict, meta).
+
+    Handles the reference dict format (``model_sd`` key) and SUN-D's ``params``
+    variant with ``module.`` prefixes (``meta_tuning_sun_d/Models/utils.py:76-99``).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and ("model_sd" in blob or "params" in blob):
+        sd = blob.get("model_sd", blob.get("params"))
+        meta = {k: blob.get(k) for k in ("model", "model_args") if k in blob}
+    else:
+        sd, meta = blob, {}
+    out = {}
+    for k, v in sd.items():
+        k = k[len("module."):] if k.startswith("module.") else k
+        if k == "temp" and v.ndim == 0:
+            out[k] = np.asarray(v)
+            continue
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out, meta
+
+
+def head_key_fn(
+    encoder_key_fn: Callable = None,
+) -> Callable:
+    """Torch-key rule for head-wrapped models (Classifier / TokenLabel /
+    MetaBaseline): encoder params prefix 'encoder.', linear heads map to
+    '<head>.linear.*', scalar 'temp' maps through."""
+    from .torch_convert import visformer_key
+
+    enc_fn = encoder_key_fn or visformer_key
+
+    def key_fn(col, path):
+        if path[0] == "encoder":
+            return enc_fn(col, path[1:], prefix="encoder.")
+        if path == ("temp",):
+            return "temp"
+        # classifier / classifier_local LinearClassifier -> torch Linear
+        parts = [p for p in path[:-1]]
+        leaf = "weight" if path[-1] == "kernel" else path[-1]
+        return ".".join(parts + [leaf])
+
+    return key_fn
+
+
+def load_reference_head_checkpoint(
+    path: str,
+    flax_model,
+    flax_variables: Any,
+    encoder_key_fn: Callable = None,
+) -> Any:
+    """Convert a reference head checkpoint (.pth) into flax variables for
+    ``flax_model`` (already constructed to match ``model_args``)."""
+    from .torch_convert import convert_by_rule
+
+    sd, _ = load_torch_state_dict(path)
+    return convert_by_rule(flax_variables, sd, head_key_fn(encoder_key_fn))

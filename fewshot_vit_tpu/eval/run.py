@@ -1,0 +1,137 @@
+"""Released-checkpoint evaluation CLI (phase: test).
+
+TPU re-design of ``test_phase/test_few_shot.py:36-117``: N-way K-shot episodic
+accuracy with 95% CI over ``--test-epochs`` x 2000 episodes, plus the ``--sauc``
+mode (2-way episodes scored as ROC-AUC of cosine similarity to the first
+class's prototype, ``test_few_shot.py:95-112``).
+
+Run:
+  python -m fewshot_vit_tpu.eval.run --config configs/test_mini_1shot.yaml --shot 1
+  python -m fewshot_vit_tpu.eval.run --config ... --sauc
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import load_config, models
+from ..core import rng as rng_mod
+from .. import models as _models  # noqa: F401
+from .. import heads as _heads  # noqa: F401
+from ..data import datasets as _datasets  # noqa: F401
+from ..core.registry import datasets as dataset_registry
+from ..checkpoint import load_reference_head_checkpoint, load_variables
+from ..data.sampler import EpisodeSampler
+from ..ops.metric import l2_normalize, mean_confidence_interval, roc_auc
+from ..data.transforms import normalize
+from ..train.runner import load_encoder_from_checkpoint
+from .episodic import evaluate, evaluate_cached, sub_variables
+
+
+def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED):
+    """Build a meta-baseline head and load weights per config: 'load' (full
+    head checkpoint, orbax dir or reference .pth) or 'load_encoder'."""
+    head = models.make(
+        "meta-baseline",
+        encoder=cfg.get("encoder", cfg.get("model_args.encoder", "visformer_micro_80")),
+        encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+    )
+    xs0 = jnp.zeros((1, 2, 1, 80, 80, 3), jnp.float32)
+    xq0 = jnp.zeros((1, 2, 80, 80, 3), jnp.float32)
+    variables = jax.tree_util.tree_map(
+        np.asarray, head.init(jax.random.key(seed), xs0, xq0)
+    )
+    path = cfg.get("load") or cfg.get("load_encoder")
+    if path is None:
+        return head, variables
+    if str(path).endswith(".pth"):
+        variables = load_reference_head_checkpoint(path, head, variables)
+    else:
+        if cfg.get("load"):
+            saved, _ = load_variables(path)
+            variables = saved
+        else:
+            enc_vars = load_encoder_from_checkpoint(path, sub_variables(variables, "encoder"))
+            for col, tree in enc_vars.items():
+                variables.setdefault(col, {})["encoder"] = tree
+    return head, variables
+
+
+def sauc_eval(head, variables, dataset, n_episodes, shot, query=15,
+              ep_per_batch=8, seed=rng_mod.DEFAULT_SEED):
+    """2-way ROC-AUC mode: scores = cosine(query, class-0 prototype).
+
+    One scan program over episode batches (single host fetch), matching the
+    device-resident design of ``eval.episodic``."""
+    import math
+
+    n_batches = math.ceil(n_episodes / ep_per_batch)
+    sampler = EpisodeSampler(dataset.labels, n_batches, 2, shot + query, ep_per_batch)
+    rng = rng_mod.np_rng(seed)
+    idx_all = np.stack(list(sampler.epoch(rng))).astype(np.int32)
+    enc_vars = sub_variables(variables, "encoder")
+    mean, std = dataset.mean, dataset.std
+    images_dev = jax.device_put(dataset.images)
+
+    @jax.jit
+    def scores_fn(enc_vars, images, idx_all):
+        def body(carry, idx):
+            x = normalize(images[idx], mean, std)
+            _, pooled = head.encoder.apply(enc_vars, x, train=False)
+            f = pooled.reshape(ep_per_batch, 2, shot + query, -1)
+            proto = l2_normalize(f[:, 0, :shot].mean(axis=1))  # (E, C)
+            q = l2_normalize(f[:, :, shot:].reshape(ep_per_batch, 2 * query, -1))
+            return carry, jnp.einsum("eqc,ec->eq", q, proto)
+
+        _, s = jax.lax.scan(body, None, idx_all)
+        return s.reshape(-1, 2 * query)
+
+    scores = np.asarray(scores_fn(enc_vars, images_dev, jnp.asarray(idx_all)))
+    y = np.array([1] * query + [0] * query)
+    aucs = [roc_auc(s, y) for s in scores[:n_episodes]]
+    m, h = mean_confidence_interval(aucs)
+    return m, h, np.asarray(aucs)
+
+
+def main():
+    p = argparse.ArgumentParser(description="few-shot eval")
+    p.add_argument("--config", required=True)
+    p.add_argument("--shot", type=int, default=1)
+    p.add_argument("--test-epochs", type=int, default=1)
+    p.add_argument("--sauc", action="store_true")
+    p.add_argument("--cached", action="store_true",
+                   help="cached-features fast path (identical accuracy)")
+    p.add_argument("--episodes", type=int, default=2000)
+    args = p.parse_args()
+    cfg = load_config(args.config)
+
+    ds = dataset_registry.make(cfg.get("dataset", "mini-imagenet"),
+                               **dict(cfg.get("dataset_args", {}) or {}))
+    head, variables = load_model_for_eval(cfg)
+
+    all_accs = []
+    for epoch in range(1, args.test_epochs + 1):
+        seed = rng_mod.DEFAULT_SEED + epoch - 1
+        if args.sauc:
+            acc, ci, accs = sauc_eval(head, variables, ds, args.episodes, args.shot, seed=seed)
+        elif args.cached:
+            acc, ci, accs = evaluate_cached(
+                head.encoder, sub_variables(variables, "encoder"), ds,
+                n_episodes=args.episodes, shot=args.shot, ep_per_batch=40, seed=seed,
+            )
+        else:
+            acc, ci, accs = evaluate(
+                head, variables, ds, n_episodes=args.episodes, shot=args.shot,
+                ep_per_batch=8, seed=seed,
+            )
+        all_accs.extend(accs.tolist())
+        m, h = mean_confidence_interval(all_accs)
+        print(f"test epoch {epoch}: acc={m * 100:.2f} +- {h * 100:.2f} (%)")
+
+
+if __name__ == "__main__":
+    main()

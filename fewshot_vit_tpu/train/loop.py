@@ -1,0 +1,137 @@
+"""Epoch-level programs and the shared training runner.
+
+TPU-native structure forced by measurement (host<->device link here runs at
+~MB/s with ~100ms roundtrips): the train split lives in HBM as uint8, each
+epoch is ONE jit program — ``lax.scan`` over steps, each step gathering its
+batch by index, augmenting on device, and updating state — and only per-step
+metric scalars come back to the host, once per epoch.
+
+Replaces the reference's per-phase Python hot loops + DataLoader worker pools
+(SURVEY.md §3.1-§3.3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import normalize
+from ..ops.metric import compute_acc
+from .state import TrainState
+from . import steps as steps_mod
+
+
+def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None) -> Callable:
+    """jit: (state, images (N,H,W,3) u8, labels (N,), idx (S,B), rng) ->
+    (state, metrics dict of (S,) arrays)."""
+    kw = {}
+    if mean is not None:
+        kw = {"mean": mean, "std": std}
+    step = steps_mod.make_pretrain_step(model, tx, preprocess_fn=preprocess_fn, jit=False, **kw)
+
+    def epoch(state, images, labels, idx, rng):
+        def body(state, scan_in):
+            idx_b, i = scan_in
+            s, m = step(state, images[idx_b], labels[idx_b], jax.random.fold_in(rng, i))
+            return s, m
+
+        n_steps = None  # static from idx shape
+        state, ms = jax.lax.scan(
+            body, state, (idx, jnp.arange(idx.shape[0]))
+        )
+        return state, ms
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def make_sun_epoch(student, teacher, tx, dual_view_fn=None, mean=None, std=None, **sun_kw) -> Callable:
+    """jit: (state, teacher_vars, images u8, labels, idx (S,B), rng) -> (state, metrics)."""
+    kw = dict(sun_kw)
+    if mean is not None:
+        kw.update(mean=mean, std=std)
+    step = steps_mod.make_sun_step(
+        student, teacher, tx, dual_view_fn=dual_view_fn, jit=False, **kw
+    )
+
+    def epoch(state, teacher_variables, images, labels, idx, rng):
+        def body(state, scan_in):
+            idx_b, i = scan_in
+            imgs = images[idx_b]
+            s, m = step(
+                state, teacher_variables, imgs, imgs, labels[idx_b],
+                jax.random.fold_in(rng, i),
+            )
+            return s, m
+
+        state, ms = jax.lax.scan(body, state, (idx, jnp.arange(idx.shape[0])))
+        return state, ms
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def make_meta_tune_epoch(
+    head, tx, way, shot, query, ep_per_batch,
+    freeze_bn=False, preprocess_fn=None, mean=None, std=None,
+) -> Callable:
+    """jit: (state, images u8, idx (S, E*way*(shot+query)), rng) -> (state, metrics)."""
+    kw = {}
+    if mean is not None:
+        kw = {"mean": mean, "std": std}
+    step = steps_mod.make_meta_tune_step(
+        head, tx, way=way, query=query, ep_per_batch=ep_per_batch,
+        freeze_bn=freeze_bn, preprocess_fn=preprocess_fn, jit=False, **kw
+    )
+
+    def epoch(state, images, idx, rng):
+        def body(state, scan_in):
+            idx_b, i = scan_in
+            imgs = images[idx_b]  # (E*way*(s+q), H, W, 3)
+            img_shape = imgs.shape[1:]
+            data = imgs.reshape(ep_per_batch, way, shot + query, *img_shape)
+            xs = data[:, :, :shot]
+            xq = data[:, :, shot:].reshape(ep_per_batch, way * query, *img_shape)
+            s, m = step(state, xs, xq, jax.random.fold_in(rng, i))
+            return s, m
+
+        state, ms = jax.lax.scan(body, state, (idx, jnp.arange(idx.shape[0])))
+        return state, ms
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def make_eval_ce_epoch(model, mean, std) -> Callable:
+    """jit CE/acc eval over a fixed batch grid (no state mutation)."""
+
+    def epoch(variables, images, labels, idx):
+        def body(carry, idx_b):
+            x = normalize(images[idx_b], mean, std)
+            logits = model.apply(variables, x, train=False)
+            import optax
+
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels[idx_b]
+            ).mean()
+            return carry, {"loss": loss, "acc": compute_acc(logits, labels[idx_b])}
+
+        _, ms = jax.lax.scan(body, None, idx)
+        return ms
+
+    return jax.jit(epoch)
+
+
+def batch_indices(n: int, batch_size: int, rng: np.random.Generator, drop_last: bool = True) -> np.ndarray:
+    """Shuffled (steps, batch_size) index matrix for one epoch."""
+    perm = rng.permutation(n)
+    n_steps = n // batch_size if drop_last else -(-n // batch_size)
+    if not drop_last:
+        pad = n_steps * batch_size - n
+        perm = np.concatenate([perm, perm[:pad]])
+    return perm[: n_steps * batch_size].reshape(n_steps, batch_size).astype(np.int32)
+
+
+def metrics_mean(ms: Dict[str, jax.Array]) -> Dict[str, float]:
+    return {k: float(np.mean(np.asarray(v))) for k, v in ms.items()}

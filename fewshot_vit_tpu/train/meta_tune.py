@@ -1,0 +1,116 @@
+"""Phase 3a (SUN-M): Meta-Baseline episodic meta-tuning.
+
+TPU re-design of ``meta_tuning_sun_m/train_meta.py`` / ``train_meta_warmup.py``:
+episodic CE over cosine-prototype logits, SGD(+warmup multistep), per-epoch
+reproducible episode draws, optional freeze_bn, episodic val on fixed seeds.
+
+Run: ``python -m fewshot_vit_tpu.train.meta_tune --config configs/meta_tune_mini_visformer_1shot.yaml``
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import RunLogger, models
+from ..core import rng as rng_mod
+from .. import models as _models  # noqa: F401
+from .. import heads as _heads  # noqa: F401
+from ..data import datasets as _datasets  # noqa: F401
+from ..checkpoint import CheckpointPolicy
+from ..data.sampler import EpisodeSampler
+from ..eval.episodic import evaluate, sub_variables
+from .loop import make_meta_tune_epoch, metrics_mean
+from .runner import (
+    build_dataset,
+    build_optimizer,
+    load_encoder_from_checkpoint,
+    parse_args,
+    save_dir_for,
+)
+from .state import TrainState
+
+
+def main(cfg, args) -> TrainState:
+    logger = RunLogger(save_dir_for(cfg, args, f"meta_tune_{cfg.get('train_dataset')}"))
+    logger.log(f"config: {cfg.to_dict()}")
+
+    train_ds = build_dataset(cfg, "train_dataset")
+    val_ds = build_dataset(cfg, "val_dataset") or train_ds
+
+    way = int(cfg.get("n_train_way", cfg.get("n_way", 5)))
+    shot = int(cfg.get("n_train_shot", cfg.get("n_shot", 1)))
+    query = int(cfg.get("n_train_query", cfg.get("n_query", 15)))
+    ep_per_batch = int(cfg.get("ep_per_batch", 4))
+    train_batches = int(cfg.get("train_batches", 100))
+    epochs = int(cfg.get("max_epoch", 100))
+
+    head = models.make(
+        cfg.get("model", "meta-baseline"),
+        encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
+        encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+        temp=float(cfg.get("model_args.temp", 10.0)),
+        temp_learnable=bool(cfg.get("model_args.temp_learnable", True)),
+    )
+    img = train_ds.images.shape[1]
+    xs0 = jnp.zeros((1, way, shot, img, img, 3), jnp.float32)
+    xq0 = jnp.zeros((1, way * query, img, img, 3), jnp.float32)
+    variables = head.init(jax.random.key(args.seed), xs0, xq0)
+
+    load_enc = cfg.get("load_encoder")
+    if load_enc:
+        enc_vars = load_encoder_from_checkpoint(
+            load_enc, sub_variables(variables, "encoder")
+        )
+        variables = jax.tree_util.tree_map(lambda x: x, variables)
+        for col, tree in enc_vars.items():
+            variables.setdefault(col, {})["encoder"] = tree
+    else:
+        logger.log("WARNING: no 'load_encoder' — encoder randomly initialized")
+
+    tx = build_optimizer(cfg, variables["params"], train_batches)
+    state = TrainState.create(variables, tx)
+
+    epoch_fn = make_meta_tune_epoch(
+        head, tx, way, shot, query, ep_per_batch,
+        freeze_bn=bool(cfg.get("freeze_bn", False)),
+        mean=train_ds.mean, std=train_ds.std,
+    )
+    images_dev = jax.device_put(train_ds.images)
+    sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
+
+    n_way, n_shot = int(cfg.get("n_way", 5)), int(cfg.get("n_shot", 1))
+    policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
+    root = rng_mod.root_key(args.seed)
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        # per-epoch seeded episode draws (reference train_meta.py:147)
+        ep_rng = rng_mod.np_rng(args.seed, epoch)
+        idx = np.stack(list(sampler.epoch(ep_rng))).astype(np.int32)
+        state, ms = epoch_fn(state, images_dev, jnp.asarray(idx), rng_mod.epoch_key(root, epoch))
+        m = metrics_mean(ms)
+        line = f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f}"
+
+        # fixed-seed episodic val (reference seeds val draws with 0)
+        acc, ci, _ = evaluate(
+            head, state.variables, val_ds,
+            n_episodes=int(cfg.get("val_episodes", 200)), way=n_way, shot=n_shot,
+            query=int(cfg.get("n_query", 15)),
+            ep_per_batch=ep_per_batch, seed=0,
+        )
+        line += f" | val {n_way}w{n_shot}s acc={acc:.4f} +- {ci:.4f}"
+        logger.log(line + f" ({time.time() - t0:.1f}s)")
+        logger.metrics(epoch, **m, val_acc=acc)
+        policy.on_epoch(epoch, state.variables,
+                        {"model": "meta-baseline",
+                         "encoder": cfg.get("model_args.encoder")}, va=acc)
+    return state
+
+
+if __name__ == "__main__":
+    cfg, args = parse_args("phase-3a SUN-M meta-tuning")
+    main(cfg, args)

@@ -1,0 +1,110 @@
+"""Phase 1: supervised whole-classification pretraining of the teacher.
+
+TPU re-design of ``sun_train_teacher/train_classifier.py:31-293``: CE over all
+base classes, AdamW with batch-scaled lr + cosine warmup, per-epoch val CE,
+periodic few-shot eval through a shared-encoder MetaBaseline view, checkpoint
+policy epoch-last/epoch-N/max-va. The whole epoch is one device program.
+
+Run: ``python -m fewshot_vit_tpu.train.pretrain --config configs/pretrain_mini_visformer.yaml``
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import RunLogger, models
+from ..core import rng as rng_mod
+from .. import models as _models  # noqa: F401 — register encoders
+from .. import heads as _heads  # noqa: F401 — register heads
+from ..data import datasets as _datasets  # noqa: F401 — register datasets
+from ..checkpoint import CheckpointPolicy
+from ..eval.episodic import sub_variables
+from .loop import batch_indices, make_eval_ce_epoch, make_pretrain_epoch, metrics_mean
+from .runner import (
+    build_dataset,
+    build_optimizer,
+    fs_eval,
+    parse_args,
+    save_dir_for,
+)
+from .state import TrainState
+
+
+def main(cfg, args) -> TrainState:
+    logger = RunLogger(save_dir_for(cfg, args, f"pretrain_{cfg.get('train_dataset')}"))
+    logger.log(f"config: {cfg.to_dict()}")
+
+    train_ds = build_dataset(cfg, "train_dataset")
+    val_ds = build_dataset(cfg, "val_dataset")
+    fs_ds = build_dataset(cfg, "fs_dataset")
+
+    n_classes = train_ds.n_classes
+    model = models.make(
+        cfg.get("model", "classifier"),
+        encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
+        encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+        classifier=cfg.get("model_args.classifier", "linear-classifier"),
+        classifier_args={"n_classes": n_classes},
+    )
+
+    batch_size = int(cfg.get("batch_size", 512))
+    epochs = int(cfg.get("max_epoch", 100))
+    steps_per_epoch = len(train_ds) // batch_size
+
+    img = train_ds.images.shape[1]
+    variables = model.init(
+        jax.random.key(args.seed), jnp.zeros((1, img, img, 3), jnp.float32)
+    )
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch, batch_size)
+    state = TrainState.create(variables, tx)
+
+    images_dev = jax.device_put(train_ds.images)
+    labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
+    epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std)
+    eval_fn = make_eval_ce_epoch(model, train_ds.mean, train_ds.std) if val_ds else None
+    val_images = jax.device_put(val_ds.images) if val_ds else None
+    val_labels = jax.device_put(val_ds.labels.astype(np.int32)) if val_ds else None
+
+    policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
+    root = rng_mod.root_key(args.seed)
+    eval_fs_epoch = int(cfg.get("eval_fs_epoch", 5) or 0)
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch))
+        state, ms = epoch_fn(
+            state, images_dev, labels_dev, jnp.asarray(idx),
+            rng_mod.epoch_key(root, epoch),
+        )
+        m = metrics_mean(ms)
+        line = f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f}"
+
+        va = None
+        if eval_fn is not None:
+            vidx = batch_indices(len(val_ds), min(batch_size, len(val_ds)),
+                                 rng_mod.np_rng(0, 0), drop_last=False)
+            vm = metrics_mean(eval_fn(state.variables, val_images, val_labels, jnp.asarray(vidx)))
+            va = vm["acc"]
+            line += f" | val loss={vm['loss']:.4f} acc={va:.4f}"
+
+        if fs_ds is not None and eval_fs_epoch and epoch % eval_fs_epoch == 0:
+            fm = fs_eval(model.encoder, sub_variables(state.variables, "encoder"), fs_ds,
+                         n_episodes=int(cfg.get("eval_fs_episodes", 200)))
+            line += " | " + " ".join(f"{k}={v:.4f}" for k, v in fm.items())
+            logger.metrics(epoch, **fm)
+
+        logger.log(line + f" ({time.time() - t0:.1f}s)")
+        logger.metrics(epoch, **m, **({"val_acc": va} if va is not None else {}))
+        policy.on_epoch(epoch, state.variables,
+                        {"model": "classifier", "n_classes": n_classes,
+                         "encoder": cfg.get("model_args.encoder")}, va=va)
+    return state
+
+
+if __name__ == "__main__":
+    cfg, args = parse_args("phase-1 teacher pretraining")
+    main(cfg, args)

@@ -1,0 +1,125 @@
+"""Shared phase-runner plumbing: config -> dataset/model/optimizer/loop glue.
+
+One engine, phases as configs — kills the reference's five-way package
+duplication (SURVEY.md §1). Each phase main lives in its own module
+(``pretrain.py``, ``sun.py``, ``meta_tune.py``) and calls into here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import Config, RunLogger, load_config, models, datasets
+from ..core import rng as rng_mod
+from ..checkpoint import CheckpointPolicy, load_variables
+from ..data.datasets import ArrayDataset
+from ..eval.episodic import evaluate, sub_variables
+from ..heads import MetaBaseline
+from .optim import cosine_warmup_schedule, make_optimizer, multistep_schedule
+
+
+def parse_args(description: str) -> Tuple[Config, argparse.Namespace]:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", required=True)
+    p.add_argument("--name", default=None)
+    p.add_argument("--tag", default=None)
+    p.add_argument("--seed", type=int, default=rng_mod.DEFAULT_SEED)
+    p.add_argument("--save-root", default="./save")
+    args = p.parse_args()
+    cfg = load_config(args.config)
+    return cfg, args
+
+
+def save_dir_for(cfg: Config, args: argparse.Namespace, default_name: str) -> str:
+    name = args.name or default_name
+    if args.tag:
+        name += f"_{args.tag}"
+    path = os.path.join(args.save_root, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def build_dataset(cfg: Config, key: str) -> Optional[ArrayDataset]:
+    name = cfg.get(key)
+    if name is None:
+        return None
+    dargs = dict(cfg.get(f"{key}_args", {}) or {})
+    return datasets.make(name, **dargs)
+
+
+def build_optimizer(cfg: Config, params: Any, steps_per_epoch: int, batch_size: int = 0):
+    """Optimizer + schedule from a phase config (reference styles unified)."""
+    name = cfg.get("optimizer", "sgd")
+    oargs = dict(cfg.get("optimizer_args", {}) or {})
+    lr = float(oargs.get("lr", 1e-3))
+    if oargs.get("scale_lr_by_batch") and batch_size:
+        lr = lr * batch_size / 512.0  # reference train_classifier.py:130
+    wd = float(oargs.get("weight_decay", 0.0) or 0.0)
+    epochs = int(cfg.get("max_epoch", 100))
+    warmup = int(oargs.get("warmup_epochs", 0))
+    sched_name = oargs.get("schedule", "cosine" if name == "adamw" else "multistep")
+    if sched_name == "cosine":
+        sched = cosine_warmup_schedule(
+            lr, steps_per_epoch, epochs, warmup,
+            warmup_lr=float(oargs.get("warmup_lr", 1e-6)),
+            min_lr=float(oargs.get("min_lr", 1e-5)),
+        )
+    elif sched_name == "multistep" and oargs.get("milestones"):
+        sched = multistep_schedule(
+            lr, steps_per_epoch, oargs["milestones"],
+            gamma=float(oargs.get("gamma", 0.1)), warmup_epochs=warmup,
+        )
+    else:
+        sched = None
+    return make_optimizer(
+        params, name, lr=lr, weight_decay=wd, schedule=sched,
+        grad_clip=oargs.get("grad_clip"),
+    )
+
+
+def fs_head_variables(encoder_variables: Dict, temp: float = 10.0) -> Dict:
+    """Assemble MetaBaseline variables around existing encoder state (the
+    reference's shared-encoder fs-eval view, ``train_classifier.py:116-118``)."""
+    v: Dict[str, Any] = {"params": {"encoder": encoder_variables["params"],
+                                    "temp": jnp.asarray(temp, jnp.float32)}}
+    if encoder_variables.get("batch_stats"):
+        v["batch_stats"] = {"encoder": encoder_variables["batch_stats"]}
+    return v
+
+
+def fs_eval(
+    encoder, encoder_variables, dataset: ArrayDataset,
+    n_episodes: int = 200, way: int = 5, shots=(1, 5), query: int = 15,
+    ep_per_batch: int = 8, seed: int = 0,
+) -> Dict[str, float]:
+    """Few-shot eval hook during training (reference fs-eval every N epochs)."""
+    head = MetaBaseline(encoder=encoder, temp_learnable=False)
+    variables = fs_head_variables(encoder_variables)
+    out = {}
+    for shot in shots:
+        acc, ci, _ = evaluate(
+            head, variables, dataset, n_episodes=n_episodes, way=way,
+            shot=shot, query=query, ep_per_batch=ep_per_batch, seed=seed,
+        )
+        out[f"fsa-{shot}"] = acc
+    return out
+
+
+def load_encoder_from_checkpoint(path: str, target_encoder_vars: Any) -> Any:
+    """Load encoder variables from an orbax checkpoint of any head-wrapped
+    model (reference ``load_encoder``, ``test_few_shot.py:56-63``)."""
+    saved, _ = load_variables(path)
+    out = {}
+    for col in target_encoder_vars:
+        tree = saved.get(col, {})
+        if "encoder" in tree:
+            out[col] = tree["encoder"]
+        else:  # checkpoint of a bare encoder
+            out[col] = tree
+    return out

@@ -45,11 +45,20 @@ def _apply_train(model, params, batch_stats, x, rng, **kwargs):
 def make_pretrain_step(
     model, tx: optax.GradientTransformation,
     mean=MEAN, std=STD, ema_decay: Optional[float] = None,
+    preprocess_fn: Optional[Callable] = None,
+    jit: bool = True,
 ) -> Callable:
-    """(state, images_u8 (B,H,W,3), labels (B,), rng) -> (state, metrics)."""
+    """(state, images_u8 (B,H,W,3), labels (B,), rng) -> (state, metrics).
+
+    ``preprocess_fn(images_u8, rng) -> float images`` hooks the device-side
+    augmentation pipeline; default is plain normalization.
+    """
 
     def step(state: TrainState, images_u8, labels, rng):
-        x = normalize(images_u8, mean, std)
+        if preprocess_fn is not None:
+            x = preprocess_fn(images_u8, jax.random.fold_in(rng, 7))
+        else:
+            x = normalize(images_u8, mean, std)
 
         def loss_fn(params):
             logits, new_stats = _apply_train(model, params, state.batch_stats, x, rng)
@@ -74,23 +83,33 @@ def make_pretrain_step(
         )
         return new_state, {"loss": loss, "acc": compute_acc(logits, labels)}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def make_sun_step(
     student, teacher, tx: optax.GradientTransformation,
     soft_k: int = 5, bg_tokens: int = 10, token_weight: float = 0.5,
     smoothing: float = 0.1, mean=MEAN, std=STD,
+    dual_view_fn: Optional[Callable] = None,
+    jit: bool = True,
 ) -> Callable:
     """SUN meta-training step.
 
     (state, teacher_variables, strong_u8, weak_u8, labels, rng) -> (state, metrics).
     Teacher runs frozen under the same program (no grad); its per-patch logits
     become smoothed top-k token labels with background assignment.
+
+    ``dual_view_fn(images_u8, rng) -> (strong_float, weak_float)`` enables the
+    device-side location-aware dual augmentation (strong view derived from the
+    weak crop, ``datasets/mini_imagenet.py:194-204``); when set, pass the SAME
+    base batch as both ``strong_u8`` and ``weak_u8``.
     """
 
     def step(state: TrainState, teacher_variables, strong_u8, weak_u8, labels, rng):
-        xw = normalize(weak_u8, mean, std)
+        if dual_view_fn is not None:
+            xs_strong, xw = dual_view_fn(strong_u8, jax.random.fold_in(rng, 7))
+        else:
+            xs_strong, xw = normalize(strong_u8, mean, std), normalize(weak_u8, mean, std)
         y_token_t, _, _ = teacher.apply(teacher_variables, xw, train=False, is_teacher=True)
         b, h, w, c = y_token_t.shape
         soft = generate_soft_label(
@@ -99,11 +118,9 @@ def make_sun_step(
         )
         soft = jax.lax.stop_gradient(soft)
 
-        xs = normalize(strong_u8, mean, std)
-
         def loss_fn(params):
             (y_token, y, _), new_stats = _apply_train(
-                student, params, state.batch_stats, xs, rng
+                student, params, state.batch_stats, xs_strong, rng
             )
             cls_loss = optax.softmax_cross_entropy_with_integer_labels(
                 y.astype(jnp.float32), labels
@@ -129,13 +146,15 @@ def make_sun_step(
         }
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def make_meta_tune_step(
     head, tx: optax.GradientTransformation,
     way: int, query: int, ep_per_batch: int,
     mean=MEAN, std=STD, freeze_bn: bool = False,
+    preprocess_fn: Optional[Callable] = None,
+    jit: bool = True,
 ) -> Callable:
     """Episodic CE step for Meta-Baseline tuning.
 
@@ -146,8 +165,18 @@ def make_meta_tune_step(
     labels = make_nk_label(way, query, ep_per_batch)
 
     def step(state: TrainState, x_shot_u8, x_query_u8, rng):
-        xs = normalize(x_shot_u8, mean, std)
-        xq = normalize(x_query_u8, mean, std)
+        if preprocess_fn is not None:
+            k = jax.random.fold_in(rng, 7)
+            img = x_shot_u8.shape[3:]
+            xs = preprocess_fn(x_shot_u8.reshape((-1,) + img), k)
+            xs = xs.reshape(x_shot_u8.shape[:3] + xs.shape[1:])
+            xq = preprocess_fn(
+                x_query_u8.reshape((-1,) + img), jax.random.fold_in(k, 1)
+            )
+            xq = xq.reshape(x_query_u8.shape[:2] + xq.shape[1:])
+        else:
+            xs = normalize(x_shot_u8, mean, std)
+            xq = normalize(x_query_u8, mean, std)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -179,4 +208,4 @@ def make_meta_tune_step(
         acc = compute_acc(logits.reshape(-1, way), labels.reshape(-1))
         return new_state, {"loss": loss, "acc": acc}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step

@@ -1,0 +1,114 @@
+"""Checkpoint subsystem: orbax round trips, save policy, torch-.pth ingestion."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fewshot_vit_tpu.core import models
+import fewshot_vit_tpu.models  # noqa: F401
+import fewshot_vit_tpu.heads  # noqa: F401
+from fewshot_vit_tpu.checkpoint import (
+    CheckpointPolicy,
+    load_reference_head_checkpoint,
+    load_torch_state_dict,
+    load_variables,
+    save_variables,
+)
+
+from . import ref_loader
+from .test_heads_eval import TinyEncoder
+from fewshot_vit_tpu.heads import MetaBaseline
+
+
+class TestOrbaxRoundTrip:
+    def test_save_load(self, tmp_path):
+        head = MetaBaseline(encoder=TinyEncoder())
+        xs = jnp.zeros((1, 3, 1, 16, 16, 3))
+        xq = jnp.zeros((1, 9, 16, 16, 3))
+        variables = head.init(jax.random.key(0), xs, xq)
+        p = str(tmp_path / "ckpt")
+        save_variables(p, variables, {"model": "meta-baseline", "epoch": 3})
+        restored, meta = load_variables(p, target=variables)
+        assert meta["epoch"] == 3
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(restored)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_policy(self, tmp_path):
+        v = {"params": {"w": jnp.ones((2, 2))}}
+        pol = CheckpointPolicy(str(tmp_path), save_epoch=2)
+        pol.on_epoch(1, v, {}, va=0.5)
+        pol.on_epoch(2, v, {}, va=0.4)
+        assert os.path.exists(tmp_path / "epoch-last")
+        assert os.path.exists(tmp_path / "epoch-2")
+        assert not os.path.exists(tmp_path / "epoch-1")
+        _, meta = load_variables(str(tmp_path / "max-va"))
+        assert meta["epoch"] == 1  # best val was epoch 1
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
+class TestTorchCheckpointIngestion:
+    def test_meta_baseline_pth_roundtrip(self, tmp_path):
+        """Build a reference-format .pth around the torch visformer and load it
+        into the flax MetaBaseline; pooled-feature parity re-checked."""
+        import torch
+
+        ref = ref_loader.load_ref_model_module("sun_meta_training", "visformer")
+        torch.manual_seed(1)
+        net = ref.visformer_small_80().eval()
+        sd = {"encoder." + k: v for k, v in net.state_dict().items()}
+        sd["temp"] = torch.tensor(10.0)
+        blob = {
+            "model": "meta-baseline",
+            "model_args": {"encoder": "visformer_micro_80"},
+            "model_sd": sd,
+        }
+        pth = str(tmp_path / "max-va.pth")
+        torch.save(blob, pth)
+
+        flat, meta = load_torch_state_dict(pth)
+        assert meta["model"] == "meta-baseline"
+        assert "encoder.stem.conv1.weight" in flat
+
+        head = models.make("meta-baseline", encoder="visformer_micro_80")
+        xs = jnp.zeros((1, 2, 1, 80, 80, 3))
+        xq = jnp.zeros((1, 2, 80, 80, 3))
+        variables = jax.tree_util.tree_map(
+            np.asarray, head.init(jax.random.key(0), xs, xq)
+        )
+        converted = load_reference_head_checkpoint(pth, head, variables)
+        assert float(converted["params"]["temp"]) == 10.0
+
+        # parity through the head: cosine logits must match the torch pipeline
+        rng = np.random.default_rng(0)
+        xs_np = rng.normal(size=(1, 2, 1, 3, 80, 80)).astype(np.float32)
+        xq_np = rng.normal(size=(1, 2, 3, 80, 80)).astype(np.float32)
+        logits = head.apply(
+            converted,
+            jnp.asarray(xs_np.transpose(0, 1, 2, 4, 5, 3)),
+            jnp.asarray(xq_np.transpose(0, 1, 3, 4, 2)),
+        )
+        with torch.no_grad():
+            _, fs = net(torch.from_numpy(xs_np.reshape(-1, 3, 80, 80)))
+            _, fq = net(torch.from_numpy(xq_np.reshape(-1, 3, 80, 80)))
+        proto = fs.reshape(1, 2, 1, -1).mean(2)
+        proto = torch.nn.functional.normalize(proto, dim=-1)
+        q = torch.nn.functional.normalize(fq.reshape(1, 2, -1), dim=-1)
+        want = 10.0 * torch.einsum("bqc,bnc->bqn", q, proto)
+        np.testing.assert_allclose(
+            np.asarray(logits), want.numpy(), rtol=2e-3, atol=2e-3
+        )
+
+    def test_sun_d_params_format(self, tmp_path):
+        """SUN-D checkpoints use key 'params' and 'module.' prefixes."""
+        import torch
+
+        blob = {"params": {"module.encoder.stem.conv1.weight": torch.zeros(2, 3, 3, 3)}}
+        pth = str(tmp_path / "deepemd.pth")
+        torch.save(blob, pth)
+        flat, _ = load_torch_state_dict(pth)
+        assert list(flat) == ["encoder.stem.conv1.weight"]
