@@ -26,6 +26,9 @@ def main():
     import jax.numpy as jnp
 
     from fewshot_vit_tpu.core import models, datasets
+    from fewshot_vit_tpu.core.rng import enable_compilation_cache
+
+    enable_compilation_cache()
     import fewshot_vit_tpu.models  # noqa: F401
     import fewshot_vit_tpu.heads  # noqa: F401
     import fewshot_vit_tpu.data.datasets  # noqa: F401
@@ -43,11 +46,17 @@ def main():
     head = models.make("meta-baseline", encoder="visformer_micro_80")
     xs = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
     xq = jnp.zeros((1, way * query, 80, 80, 3), jnp.float32)
-    variables = head.init(jax.random.key(0), xs, xq)
+    # init on CPU: TPU compiles go through a slow remote-compile path here,
+    # and param init math is trivial
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = head.init(jax.random.key(0), xs, xq)
+    variables = jax.device_put(variables, jax.devices()[0])
     images_dev = jax.device_put(ds.images)
 
-    # warmup / compile
-    evaluate(head, variables, ds, n_episodes=ep_per_batch, way=way, shot=shot,
+    # warmup: compile + one full pass (the persistent compile cache is
+    # defeated by the TPU plugin's per-process session id, so steady-state
+    # must be measured within-process)
+    evaluate(head, variables, ds, n_episodes=n_episodes, way=way, shot=shot,
              query=query, ep_per_batch=ep_per_batch, seed=1, images_dev=images_dev)
 
     t0 = time.perf_counter()

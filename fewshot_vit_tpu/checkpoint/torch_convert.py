@@ -96,7 +96,9 @@ def convert_by_rule(
                     w = dense_t2j(w)
                 else:
                     raise ValueError(f"kernel rank mismatch at {path}: torch {w.shape} -> flax {target_shape}")
-            elif name.startswith("pos_embed"):
+            elif name.startswith("pos_embed") and w.ndim == 4:
+                # 2-D positional maps are NCHW in torch; token-major (1, N, D)
+                # pos embeds (ViT-style) need no transpose
                 w = pos_embed_t2j(w)
             if tuple(w.shape) != tuple(target_shape):
                 raise ValueError(f"shape mismatch at {col}/{'/'.join(path)}: torch {w.shape} vs flax {target_shape}")
@@ -147,6 +149,75 @@ def visformer_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "")
     elif leaf == "kernel":
         leaf = "weight"
     return prefix + ".".join(torch_parts + [leaf])
+
+
+def resnet_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """ResNet-18/50: flax ``layer2_1/conv1`` -> torch ``layer2.1.conv1``;
+    ResNet-12: flax ``layer1/conv1`` -> torch ``layer1.conv1``;
+    downsample pairs map to Sequential indices."""
+    parts = list(path)
+    leaf = parts.pop()
+    torch_parts = []
+    for p in parts:
+        if p.startswith("layer") and "_" in p:
+            s, i = p.split("_")
+            torch_parts += [s, i]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf in _BN_LEAF and (parts[-1].startswith("bn") or parts[-1].startswith("downsample_bn")):
+        leaf = _BN_LEAF[leaf]
+    elif leaf == "kernel":
+        leaf = "weight"
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+def convnet4_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """ConvNet4: flax ``conv{i}``/``bn{i}`` -> torch ``encoder.{i}.0/.1``."""
+    parts = list(path)
+    leaf = parts.pop()
+    name = parts[0]
+    i = name[-1]
+    if name.startswith("conv"):
+        return f"{prefix}encoder.{i}.0.{'weight' if leaf == 'kernel' else leaf}"
+    return f"{prefix}encoder.{i}.1.{_BN_LEAF.get(leaf, leaf)}"
+
+
+def deit_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """DeiT/ViT: flax ``blocks_3/attn/qkv`` -> torch ``blocks.3.attn.qkv``;
+    ``mlp_fc1`` -> ``mlp.fc1``; ``patch_embed`` -> ``patch_embed.proj``;
+    LayerNorm scale -> weight."""
+    parts = list(path)
+    leaf = parts.pop()
+    if parts == [] and leaf in ("cls_token", "pos_embed"):
+        return prefix + leaf
+    torch_parts = []
+    for p in parts:
+        if p.startswith("blocks_"):
+            torch_parts += ["blocks", p.split("_")[1]]
+        elif p == "patch_embed":
+            torch_parts += ["patch_embed", "proj"]
+        elif p.startswith("mlp_fc"):
+            torch_parts += ["mlp", p.split("_")[1]]
+        else:
+            torch_parts.append(p)
+    leaf = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+# encoder registry name -> torch key rule (for head checkpoint ingestion)
+ENCODER_KEY_FNS: Dict[str, Callable] = {}
+for _n in ("visformer_micro_80", "visformer_tiny_80", "visformer_small", "net5_80"):
+    ENCODER_KEY_FNS[_n] = visformer_key
+for _n in ("resnet12", "resnet12-wide", "resnet18", "resnet50"):
+    ENCODER_KEY_FNS[_n] = resnet_key
+ENCODER_KEY_FNS["convnet4"] = convnet4_key
+for _n in ("deit_tiny_patch16_224", "deit_small_patch16_224", "deit_base_patch16_224",
+           "deit_nano_patch16_224", "deit_nano_patch6_84", "deit_micro_patch6_84"):
+    ENCODER_KEY_FNS[_n] = deit_key
 
 
 def convert_visformer(flax_vars: Mapping[str, Any], torch_sd: Mapping[str, np.ndarray],

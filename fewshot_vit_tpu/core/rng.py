@@ -19,6 +19,16 @@ import numpy as np
 DEFAULT_SEED = 12345  # the reference's fixed seed
 
 
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp") -> None:
+    """Persistent XLA compilation cache — first compiles on this box run
+    20-600s (remote-compile TPU path), so cache across processes."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def root_key(seed: int = DEFAULT_SEED) -> jax.Array:
     return jax.random.key(seed)
 

@@ -57,6 +57,9 @@ class ArrayDataset:
 
 
 def _apply_eval_geometry(images: np.ndarray, image_size: int, protocol: str) -> np.ndarray:
+    if protocol == "raw":
+        # keep native resolution — device-side augmentation does the geometry
+        return images
     if images.shape[1] == image_size and images.shape[2] == image_size:
         return images
     if protocol == "resize_crop":
@@ -176,8 +179,11 @@ def synthetic(
     heads achieve above-chance accuracy (sanity signal for the eval engine).
     """
     rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, (n_classes, image_size, image_size, 3))
-    noise = rng.integers(-40, 40, (n_classes * n_per_class, image_size, image_size, 3))
+    base = rng.integers(0, 256, (n_classes, image_size, image_size, 3), dtype=np.int16)
+    noise = rng.integers(
+        -40, 40, (n_classes * n_per_class, image_size, image_size, 3), dtype=np.int16
+    )
     labels = np.repeat(np.arange(n_classes), n_per_class)
-    images = np.clip(base[labels] + noise, 0, 255).astype(np.uint8)
+    noise += base[labels]
+    images = np.clip(noise, 0, 255, out=noise).astype(np.uint8)
     return ArrayDataset(images, labels.astype(np.int32), n_classes)

@@ -107,6 +107,7 @@ def main():
                    help="cached-features fast path (identical accuracy)")
     p.add_argument("--episodes", type=int, default=2000)
     args = p.parse_args()
+    rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
 
     ds = dataset_registry.make(cfg.get("dataset", "mini-imagenet"),

@@ -55,7 +55,8 @@ def main(cfg, args) -> TrainState:
     epochs = int(cfg.get("max_epoch", 100))
     steps_per_epoch = len(train_ds) // batch_size
 
-    img = train_ds.images.shape[1]
+    # model input size = post-augmentation size, not the raw stored size
+    img = int(cfg.get("image_size", 80 if cfg.get("augment") else train_ds.images.shape[1]))
     variables = model.init(
         jax.random.key(args.seed), jnp.zeros((1, img, img, 3), jnp.float32)
     )
@@ -64,7 +65,17 @@ def main(cfg, args) -> TrainState:
 
     images_dev = jax.device_put(train_ds.images)
     labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
-    epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std)
+    preprocess_fn = None
+    if cfg.get("augment") == "cropaug":
+        # timm create_transform pipeline, on device (reference 'cropaug' path)
+        from ..data.augment import make_cropaug_fn
+
+        preprocess_fn = make_cropaug_fn(
+            train_ds.mean, train_ds.std, out_size=int(cfg.get("image_size", 80))
+        )
+    epoch_fn = make_pretrain_epoch(
+        model, tx, preprocess_fn=preprocess_fn, mean=train_ds.mean, std=train_ds.std
+    )
     eval_fn = make_eval_ce_epoch(model, train_ds.mean, train_ds.std) if val_ds else None
     val_images = jax.device_put(val_ds.images) if val_ds else None
     val_labels = jax.device_put(val_ds.labels.astype(np.int32)) if val_ds else None

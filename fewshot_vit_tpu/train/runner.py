@@ -32,6 +32,7 @@ def parse_args(description: str) -> Tuple[Config, argparse.Namespace]:
     p.add_argument("--seed", type=int, default=rng_mod.DEFAULT_SEED)
     p.add_argument("--save-root", default="./save")
     args = p.parse_args()
+    rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
     return cfg, args
 

@@ -62,7 +62,7 @@ def main(cfg, args) -> TrainState:
     student = make_token_label()
     teacher = make_token_label()
 
-    img = train_ds.images.shape[1]
+    img = int(cfg.get("image_size", 80))
     dummy = jnp.zeros((1, img, img, 3), jnp.float32)
     sv = student.init(jax.random.key(args.seed), dummy)
     tv = teacher.init(jax.random.key(args.seed + 1), dummy)
@@ -86,8 +86,19 @@ def main(cfg, args) -> TrainState:
     # its own copies to keep donation sound.
     tv = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), tv)
 
+    dual_view_fn = None
+    if cfg.get("augment", "dual") == "dual":
+        # location-aware weak/strong views on device (reference dual-view set)
+        from ..data.augment import make_dual_view_fn
+
+        dual_view_fn = make_dual_view_fn(
+            train_ds.mean, train_ds.std,
+            out_size=int(cfg.get("image_size", 80)),
+            strong_prob=float(cfg.get("strong_prob", 0.5)),
+        )
     epoch_fn = make_sun_epoch(
         student, teacher, tx,
+        dual_view_fn=dual_view_fn,
         mean=train_ds.mean, std=train_ds.std,
         soft_k=int(cfg.get("tl_soft_k", 5)),
         bg_tokens=int(cfg.get("bg_token_num", 10)),

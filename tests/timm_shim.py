@@ -1,0 +1,220 @@
+"""Minimal timm stand-in so the reference's timm-dependent model files can be
+imported for parity testing (timm is not installed in this image).
+
+Provides only the symbols the reference backbones actually use, implemented to
+match timm semantics: DropPath, Mlp, PatchEmbed, trunc_normal_, to_2tuple /
+to_ntuple, create_conv2d / create_pool2d (padding='same' max pool), plus no-op
+registry/helper stubs. Installed into ``sys.modules`` as ``timm.*`` by
+``install()`` — call before ``ref_loader.load_ref_model_module``.
+"""
+
+import collections.abc
+import math
+import sys
+import types
+from itertools import repeat
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def _ntuple(n):
+    def parse(x):
+        if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
+            return tuple(x)
+        return tuple(repeat(x, n))
+    return parse
+
+
+to_1tuple, to_2tuple, to_3tuple, to_4tuple = (_ntuple(i) for i in range(1, 5))
+to_ntuple = _ntuple
+
+
+def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+    with torch.no_grad():
+        l = (1.0 + math.erf((a - mean) / std / math.sqrt(2.0))) / 2.0
+        u = (1.0 + math.erf((b - mean) / std / math.sqrt(2.0))) / 2.0
+        tensor.uniform_(2 * l - 1, 2 * u - 1)
+        tensor.erfinv_()
+        tensor.mul_(std * math.sqrt(2.0)).add_(mean)
+        tensor.clamp_(min=a, max=b)
+    return tensor
+
+
+def drop_path(x, drop_prob=0.0, training=False):
+    if drop_prob == 0.0 or not training:
+        return x
+    keep = 1 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+    mask.floor_()
+    return x.div(keep) * mask
+
+
+class DropPath(nn.Module):
+    def __init__(self, drop_prob=None):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        return drop_path(x, self.drop_prob or 0.0, self.training)
+
+
+class Mlp(nn.Module):
+    def __init__(self, in_features, hidden_features=None, out_features=None,
+                 act_layer=nn.GELU, drop=0.0):
+        super().__init__()
+        out_features = out_features or in_features
+        hidden_features = hidden_features or in_features
+        self.fc1 = nn.Linear(in_features, hidden_features)
+        self.act = act_layer()
+        self.fc2 = nn.Linear(hidden_features, out_features)
+        self.drop = nn.Dropout(drop)
+
+    def forward(self, x):
+        return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+
+class PatchEmbed(nn.Module):
+    """timm PatchEmbed: conv stride=patch, flatten to (B, N, C), optional norm."""
+
+    def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768,
+                 norm_layer=None, flatten=True):
+        super().__init__()
+        img_size = to_2tuple(img_size)
+        patch_size = to_2tuple(patch_size)
+        self.img_size = img_size
+        self.patch_size = patch_size
+        self.grid_size = (img_size[0] // patch_size[0], img_size[1] // patch_size[1])
+        self.num_patches = self.grid_size[0] * self.grid_size[1]
+        self.flatten = flatten
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size, stride=patch_size)
+        self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+    def forward(self, x):
+        x = self.proj(x)
+        if self.flatten:
+            x = x.flatten(2).transpose(1, 2)
+        return self.norm(x)
+
+
+def create_conv2d(in_chs, out_chs, kernel_size, **kwargs):
+    """timm create_conv2d subset: explicit or 'same'-style int padding."""
+    padding = kwargs.pop("padding", "")
+    stride = kwargs.pop("stride", 1)
+    dilation = kwargs.pop("dilation", 1)
+    bias = kwargs.pop("bias", True)
+    groups = kwargs.pop("groups", 1)
+    if padding == "" or padding == "same":
+        padding = ((stride - 1) + dilation * (kernel_size - 1)) // 2
+    return nn.Conv2d(in_chs, out_chs, kernel_size, stride=stride, padding=padding,
+                     dilation=dilation, groups=groups, bias=bias)
+
+
+class _MaxPool2dSame(nn.Module):
+    def __init__(self, kernel_size, stride):
+        super().__init__()
+        self.k = to_2tuple(kernel_size)
+        self.s = to_2tuple(stride)
+
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        pad_h = max((math.ceil(ih / self.s[0]) - 1) * self.s[0] + self.k[0] - ih, 0)
+        pad_w = max((math.ceil(iw / self.s[1]) - 1) * self.s[1] + self.k[1] - iw, 0)
+        x = F.pad(x, [pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2],
+                  value=-float("inf"))
+        return F.max_pool2d(x, self.k, self.s)
+
+
+def create_pool2d(pool_type, kernel_size, stride=None, **kwargs):
+    assert pool_type == "max"
+    padding = kwargs.pop("padding", "")
+    if padding == "same" or padding == "":
+        return _MaxPool2dSame(kernel_size, stride or kernel_size)
+    return nn.MaxPool2d(kernel_size, stride=stride, padding=padding)
+
+
+def create_classifier(num_features, num_classes, pool_type="avg"):
+    pool = nn.AdaptiveAvgPool2d(1)
+    fc = nn.Linear(num_features, num_classes) if num_classes > 0 else nn.Identity()
+    return pool, fc
+
+
+def get_act_layer(name="relu"):
+    return {"relu": nn.ReLU, "gelu": nn.GELU, "hard_swish": nn.Hardswish,
+            "silu": nn.SiLU}[name if isinstance(name, str) else "relu"]
+
+
+def named_apply(fn, module, name="", depth_first=True, include_root=False):
+    if not depth_first and include_root:
+        fn(module=module, name=name)
+    for child_name, child_module in module.named_children():
+        child_name = ".".join((name, child_name)) if name else child_name
+        named_apply(fn, child_module, child_name, depth_first, True)
+    if depth_first and include_root:
+        fn(module=module, name=name)
+    return module
+
+
+def _noop(*a, **k):
+    raise NotImplementedError("timm shim: pretrained-model helpers unavailable")
+
+
+def register_model(fn):
+    return fn
+
+
+def _cfg(url="", **kwargs):
+    return dict(url=url, **kwargs)
+
+
+def _init_vit_weights(module, name="", head_bias=0.0, jax_impl=False):
+    if isinstance(module, nn.Linear):
+        trunc_normal_(module.weight, std=0.02)
+        if module.bias is not None:
+            nn.init.zeros_(module.bias)
+    elif isinstance(module, nn.LayerNorm):
+        nn.init.zeros_(module.bias)
+        nn.init.ones_(module.weight)
+
+
+def install():
+    timm = types.ModuleType("timm")
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    models_m = types.ModuleType("timm.models")
+    helpers = types.ModuleType("timm.models.helpers")
+    helpers.build_model_with_cfg = _noop
+    helpers.overlay_external_default_cfg = lambda *a, **k: None
+    helpers.named_apply = named_apply
+    helpers.load_pretrained = _noop
+    layers = types.ModuleType("timm.models.layers")
+    for sym in ("DropPath", "Mlp", "PatchEmbed", "trunc_normal_", "to_2tuple",
+                "to_ntuple", "create_conv2d", "create_pool2d",
+                "create_classifier", "get_act_layer"):
+        setattr(layers, sym, globals()[sym])
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = register_model
+    vit = types.ModuleType("timm.models.vision_transformer")
+    vit._cfg = _cfg
+    vit.checkpoint_filter_fn = lambda sd, model: sd
+    vit._init_vit_weights = _init_vit_weights
+    resnet_m = types.ModuleType("timm.models.resnet")
+    resnet_m.resnet26d = resnet_m.resnet50d = resnet_m.resnet101d = _noop
+
+    for name, mod in [
+        ("timm", timm), ("timm.data", data), ("timm.models", models_m),
+        ("timm.models.helpers", helpers), ("timm.models.layers", layers),
+        ("timm.models.registry", registry),
+        ("timm.models.vision_transformer", vit), ("timm.models.resnet", resnet_m),
+    ]:
+        sys.modules.setdefault(name, mod)
+    timm.data = data
+    timm.models = models_m
+    models_m.helpers = helpers
+    models_m.layers = layers
+    models_m.registry = registry
+    models_m.vision_transformer = vit
+    models_m.resnet = resnet_m
