@@ -96,15 +96,18 @@ def convert_by_rule(
                     w = dense_t2j(w)
                 else:
                     raise ValueError(f"kernel rank mismatch at {path}: torch {w.shape} -> flax {target_shape}")
-            elif name.startswith("pos_embed") and w.ndim == 4:
-                # 2-D positional maps are NCHW in torch; token-major (1, N, D)
-                # pos embeds (ViT-style) need no transpose
+            elif (name.startswith("pos_embed") and w.ndim == 4
+                  and tuple(w.shape) != tuple(target_shape)):
+                # 2-D positional maps are NCHW in torch -> NHWC; token-major
+                # pos embeds (ViT (1,N,D), NesT (1,T,N,C)) already match
                 w = pos_embed_t2j(w)
             if tuple(w.shape) != tuple(target_shape):
                 raise ValueError(f"shape mismatch at {col}/{'/'.join(path)}: torch {w.shape} vs flax {target_shape}")
             new_flat[(col,) + path] = w.astype(np.asarray(leaf).dtype)
 
-    leftover = {k for k in sd if k not in used and not k.endswith("num_batches_tracked")}
+    _buffers = ("num_batches_tracked", "relative_position_index", "attn_mask",
+                "attention_bias_idxs")
+    leftover = {k for k in sd if k not in used and not k.endswith(_buffers)}
     if leftover:
         raise ValueError(f"unconsumed torch tensors: {sorted(leftover)[:10]} (+{max(0, len(leftover)-10)} more)")
 
@@ -208,6 +211,128 @@ def deit_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> s
     return prefix + ".".join(torch_parts + [leaf])
 
 
+def nest_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """NesT: flax ``levels_1_layers_0/attn/qkv`` ->
+    torch ``levels.1.transformer_encoder.0.attn.qkv``; ``levels_0_pos_embed``
+    (top-level param) -> ``levels.0.pos_embed``; ``levels_1_pool/conv`` ->
+    ``levels.1.pool.conv``; resembed conv-stem children map like visformer's."""
+    parts = list(path)
+    leaf = parts.pop()
+    if not parts and leaf.startswith("levels_") and leaf.endswith("pos_embed"):
+        i = leaf.split("_")[1]
+        return f"{prefix}levels.{i}.pos_embed"
+    torch_parts = []
+    for p in parts:
+        if p.startswith("levels_") and "_layers_" in p:
+            _, i, _, j = p.split("_")
+            torch_parts += ["levels", i, "transformer_encoder", j]
+        elif p.startswith("levels_") and p.endswith("_pool"):
+            torch_parts += ["levels", p.split("_")[1], "pool"]
+        elif p.startswith("mlp_fc"):
+            torch_parts += ["mlp", p.split("_")[1]]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf in ("mean", "var") or (
+        leaf in ("scale", "bias") and parts and
+        (parts[-1].startswith("bn") or parts[-1] == "downsample_bn")
+    ):
+        leaf = _BN_LEAF[leaf]
+    else:
+        leaf = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+    # plain 4x4 patch embed is a bare conv in flax but PatchEmbed.proj in torch
+    if torch_parts == ["patch_embed"] and not any(
+        c in path for c in ("conv1", "conv2", "conv3")
+    ):
+        torch_parts = ["patch_embed", "proj"]
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+def swin_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """Swin: flax ``layers_0_blocks_1/attn/qkv`` -> torch
+    ``layers.0.blocks.1.attn.qkv``; ``layers_0_downsample/reduction`` ->
+    ``layers.0.downsample.reduction``; ``patch_embed_proj``/``patch_embed_norm``
+    -> ``patch_embed.proj``/``.norm``; 3conv stem children map like visformer."""
+    parts = list(path)
+    leaf = parts.pop()
+    if not parts and leaf == "absolute_pos_embed":
+        return prefix + leaf
+    torch_parts = []
+    for p in parts:
+        if p.startswith("layers_") and "_blocks_" in p:
+            _, i, _, j = p.split("_")
+            torch_parts += ["layers", i, "blocks", j]
+        elif p.startswith("layers_") and p.endswith("_downsample"):
+            torch_parts += ["layers", p.split("_")[1], "downsample"]
+        elif p == "patch_embed_proj":
+            torch_parts += ["patch_embed", "proj"]
+        elif p == "patch_embed_norm":
+            torch_parts += ["patch_embed", "norm"]
+        elif p.startswith("mlp_fc"):
+            torch_parts += ["mlp", p.split("_")[1]]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf in ("mean", "var") or (
+        leaf in ("scale", "bias") and parts
+        and (parts[-1].startswith("bn") or parts[-1] == "downsample_bn")
+    ):
+        leaf = _BN_LEAF[leaf]
+    else:
+        leaf = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+def levit_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """LeViT: Residual-wrapped blocks nest under ``.m``; MLP LinearNorms are
+    Sequential indices 0/2; subsample q is Sequential index 1; attention/mlp
+    proj sits at Sequential index 1 after the activation.
+
+      blocks_0/qkv/c/kernel        -> blocks.0.m.qkv.c.weight
+      blocks_0/proj/c/kernel       -> blocks.0.m.proj.1.c.weight
+      blocks_0/attention_biases    -> blocks.0.m.attention_biases
+      blocks_1/fc1/bn/scale        -> blocks.1.m.0.bn.weight
+      blocks_2_sub/kv/c/kernel     -> blocks.2.kv.c.weight
+      blocks_2_sub/q/c/kernel      -> blocks.2.q.1.c.weight
+    """
+    parts = list(path)
+    leaf = parts.pop()
+    is_sub = bool(parts) and parts[0].endswith("_sub")
+    torch_parts = []
+    for j, p in enumerate(parts):
+        if p.startswith("blocks_"):
+            i = p.split("_")[1]
+            torch_parts += ["blocks", i] if is_sub else ["blocks", i, "m"]
+        elif p == "fc1":
+            torch_parts.append("0")
+        elif p == "fc2":
+            torch_parts.append("2")
+        elif p == "proj":
+            torch_parts += ["proj", "1"]
+        elif p == "q":
+            torch_parts += ["q", "1"]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf == "attention_biases":
+        return prefix + ".".join(torch_parts + [leaf])
+    if leaf in _BN_LEAF and parts and (parts[-1] == "bn" or parts[-1].startswith("bn")
+                                       or parts[-1] == "downsample_bn"):
+        leaf = _BN_LEAF[leaf]
+    elif leaf == "kernel":
+        leaf = "weight"
+    return prefix + ".".join(torch_parts + [leaf])
+
+
 # encoder registry name -> torch key rule (for head checkpoint ingestion)
 ENCODER_KEY_FNS: Dict[str, Callable] = {}
 for _n in ("visformer_micro_80", "visformer_tiny_80", "visformer_small", "net5_80"):
@@ -215,6 +340,43 @@ for _n in ("visformer_micro_80", "visformer_tiny_80", "visformer_small", "net5_8
 for _n in ("resnet12", "resnet12-wide", "resnet18", "resnet50"):
     ENCODER_KEY_FNS[_n] = resnet_key
 ENCODER_KEY_FNS["convnet4"] = convnet4_key
+for _n in ("nest_nano_80", "nest_micro_80", "nest_micro_resembed_80", "nest_12m_v3"):
+    ENCODER_KEY_FNS[_n] = nest_key
+for _n in ("swin_nano_patch4_window5_80", "swin_micro_resembed_80"):
+    ENCODER_KEY_FNS[_n] = swin_key
+ENCODER_KEY_FNS["levit_micro_80"] = levit_key
+
+
+def lvvit_key(col, path, prefix=""):
+    """LV-ViT: like deit_key but the conv-stem patch_embed children pass
+    through (patch_embed.conv1 / .proj), with BN leaf handling."""
+    parts = list(path)
+    leaf = parts.pop()
+    if not parts and leaf in ("cls_token", "pos_embed"):
+        return prefix + leaf
+    torch_parts = []
+    for p in parts:
+        if p.startswith("blocks_"):
+            torch_parts += ["blocks", p.split("_")[1]]
+        elif p.startswith("mlp_fc"):
+            torch_parts += ["mlp", p.split("_")[1]]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf in ("mean", "var") or (
+        leaf in ("scale", "bias") and parts
+        and (parts[-1].startswith("bn") or parts[-1] == "downsample_bn")
+    ):
+        leaf = _BN_LEAF[leaf]
+    else:
+        leaf = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+ENCODER_KEY_FNS["lvvit_micro_80"] = lvvit_key
 for _n in ("deit_tiny_patch16_224", "deit_small_patch16_224", "deit_base_patch16_224",
            "deit_nano_patch16_224", "deit_nano_patch6_84", "deit_micro_patch6_84"):
     ENCODER_KEY_FNS[_n] = deit_key

@@ -1,0 +1,222 @@
+"""NesT — hierarchical nested transformer (blocked local attention).
+
+Behavioral spec from ``sun_meta_training/models/nest.py`` and
+``nest_resembed.py``:
+  * patch embed (4x4 conv) -> 3 levels with [16, 4, 1] non-overlapping image
+    blocks of a fixed per-block sequence length (25 tokens at 80px);
+  * each level: optional ConvPool aggregation (3x3 conv + channel LayerNorm +
+    3x3/s2 maxpool, ``nest.py:116-130``), per-level pos embed (1, T, N, C),
+    pre-LN transformer layers with attention over the block-local token axis
+    (``:57-90``), blockify/deblockify reshapes (``:135-163``);
+  * final channel LayerNorm, ``forward -> (dense_map, avg_pool)`` (``:323-337``);
+  * ``resembed`` variant replaces the patch embed with a residual conv stem
+    (7x7/s2 -> 1x1 -> 3x3, maxpool shortcut; ``nest_resembed.py:63-100``).
+
+TPU-first: NHWC throughout, so blockify is a pure reshape/transpose and the
+blocked attention is one 5-D einsum — exactly the layout the original JAX NesT
+used, which the reference reshapes NCHW<->NHWC around every level.
+
+Registered: ``nest_nano_80`` (96/192/384, heads 3/6/12, depths 2/3/3),
+``nest_micro_80`` (128/384/512, heads 4/12/16, depths 2/2/2),
+``nest_micro_resembed_80`` (micro dims + residual conv stem). Default
+drop_path_rate 0.5 as in the reference constructors.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.registry import models
+from .common import DropPath, gelu, leaky_relu, trunc_normal_init
+
+
+def blockify(x: jax.Array, block_size: int) -> jax.Array:
+    """(B, H, W, C) -> (B, T, N, C) non-overlapping square blocks."""
+    b, h, w, c = x.shape
+    gh, gw = h // block_size, w // block_size
+    x = x.reshape(b, gh, block_size, gw, block_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh * gw, block_size * block_size, c)
+
+
+def deblockify(x: jax.Array, block_size: int) -> jax.Array:
+    """(B, T, N, C) -> (B, H, W, C)."""
+    b, t, n, c = x.shape
+    grid = int(math.sqrt(t))
+    x = x.reshape(b, grid, grid, block_size, block_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, grid * block_size, grid * block_size, c)
+
+
+class NestAttention(nn.Module):
+    """MHSA over the block-local token axis of (B, T, N, C)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        b, t, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
+                       kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, t, n, 3, h, hd)
+        q, k, v = jnp.moveaxis(qkv, 3, 0)  # each (B, T, N, h, hd)
+        attn = jnp.einsum("btqhd,btkhd->bthqk", q, k) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        # NB: the reference merges heads head-dim-MAJOR — ``(attn@v).permute(
+        # 0,2,3,4,1).reshape(B,T,N,C)`` (``nest.py:86``), i.e. channel = d*H+h,
+        # unlike the standard (h, d) merge — keep it for weight compatibility
+        out = jnp.einsum("bthqk,btkhd->btqdh", attn, v).reshape(b, t, n, c)
+        out = nn.Dense(c, kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class NestTransformerLayer(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+        dp = DropPath(self.drop_path, name="drop_path")
+        y = NestAttention(self.dim, self.num_heads, self.qkv_bias,
+                          self.attn_drop, self.drop, dtype=self.dtype,
+                          name="attn")(ln("norm1")(x), train)
+        x = x + dp(y, deterministic=not train)
+        h = ln("norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        drop = nn.Dropout(self.drop, deterministic=not train)
+        h = drop(gelu(nn.Dense(hidden, kernel_init=trunc_normal_init(0.02),
+                               dtype=self.dtype, name="mlp_fc1")(h)))
+        h = drop(nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
+                          dtype=self.dtype, name="mlp_fc2")(h))
+        return x + dp(h, deterministic=not train)
+
+
+class ConvPool(nn.Module):
+    """Block aggregation: 3x3 conv + channel LN + 3x3/s2 maxpool (pad 1)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(self.dim, (3, 3), padding=1,
+                    kernel_init=trunc_normal_init(0.02),
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+# The resembed variant's active ConvBlock (the 7x7 definition at
+# ``nest_resembed.py:63-100`` is dead code inside a string literal) is exactly
+# the Visformer residual 3-conv stem — reuse it.
+from .visformer import ConvStem as NestConvStem  # noqa: E402
+
+
+class Nest(nn.Module):
+    img_size: int = 80
+    patch_size: int = 4
+    embed_dims: Sequence[int] = (96, 192, 384)
+    num_heads: Sequence[int] = (3, 6, 12)
+    depths: Sequence[int] = (2, 3, 3)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.5
+    conv_stem: bool = False  # resembed variant
+    stem_hidden: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dims[-1]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        num_levels = len(self.embed_dims)
+        num_blocks = [4 ** (num_levels - 1 - i) for i in range(num_levels)]
+        grid = self.img_size // self.patch_size
+        block_size = grid // int(math.sqrt(num_blocks[0]))
+        seq_len = block_size * block_size
+
+        if self.conv_stem:
+            x = NestConvStem(self.stem_hidden, self.embed_dims[0],
+                             dtype=self.dtype, name="patch_embed")(x, train)
+        else:
+            x = nn.Conv(self.embed_dims[0],
+                        (self.patch_size, self.patch_size),
+                        strides=self.patch_size, padding="VALID",
+                        kernel_init=trunc_normal_init(0.02),
+                        dtype=self.dtype, name="patch_embed")(x)
+
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        first = 0
+        for lvl in range(num_levels):
+            dim = self.embed_dims[lvl]
+            if lvl > 0:
+                x = ConvPool(dim, dtype=self.dtype, name=f"levels_{lvl}_pool")(x, train)
+            x = blockify(x, block_size)
+            pos = self.param(f"levels_{lvl}_pos_embed", trunc_normal_init(0.02),
+                             (1, num_blocks[lvl], seq_len, dim))
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x + pos)
+            for j in range(self.depths[lvl]):
+                x = NestTransformerLayer(
+                    dim, self.num_heads[lvl], self.mlp_ratio, self.qkv_bias,
+                    self.drop_rate, self.attn_drop_rate, dpr[first + j],
+                    dtype=self.dtype, name=f"levels_{lvl}_layers_{j}",
+                )(x, train)
+            first += self.depths[lvl]
+            x = deblockify(x, block_size)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        pooled = jnp.mean(x, axis=(1, 2))
+        pooled = nn.Dropout(self.drop_rate, deterministic=not train)(pooled)
+        return x, pooled
+
+
+@models.register("nest_nano_80")
+def nest_nano_80(**kwargs: Any) -> Nest:
+    return Nest(img_size=80, embed_dims=(96, 192, 384), num_heads=(3, 6, 12),
+                depths=(2, 3, 3), **kwargs)
+
+
+@models.register("nest_micro_80")
+def nest_micro_80(**kwargs: Any) -> Nest:
+    return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(4, 12, 16),
+                depths=(2, 2, 2), **kwargs)
+
+
+@models.register("nest_micro_resembed_80")
+def nest_micro_resembed_80(**kwargs: Any) -> Nest:
+    return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(4, 12, 16),
+                depths=(2, 2, 2), conv_stem=True, **kwargs)
+
+
+@models.register("nest_12m_v3")
+def nest_12m_v3(**kwargs: Any) -> Nest:
+    """Teacher-package variant (``sun_train_teacher/models/nest.py:455-466``)."""
+    return Nest(img_size=80, embed_dims=(160, 480, 512), num_heads=(16, 24, 32),
+                depths=(1, 1, 2), **kwargs)

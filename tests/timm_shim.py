@@ -130,8 +130,12 @@ class _MaxPool2dSame(nn.Module):
 def create_pool2d(pool_type, kernel_size, stride=None, **kwargs):
     assert pool_type == "max"
     padding = kwargs.pop("padding", "")
-    if padding == "same" or padding == "":
-        return _MaxPool2dSame(kernel_size, stride or kernel_size)
+    stride = stride or kernel_size
+    if padding == "same":
+        return _MaxPool2dSame(kernel_size, stride)
+    if padding == "":
+        # timm pad_type '': symmetric pytorch padding
+        padding = ((stride - 1) + 1 * (kernel_size - 1)) // 2
     return nn.MaxPool2d(kernel_size, stride=stride, padding=padding)
 
 
@@ -185,8 +189,15 @@ def install():
     data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
     data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
     models_m = types.ModuleType("timm.models")
+    def build_model_with_cfg(model_cls, variant, pretrained, **kwargs):
+        assert not pretrained, "timm shim: no pretrained weights"
+        kwargs.pop("default_cfg", None)
+        kwargs.pop("feature_cfg", None)
+        kwargs.pop("pretrained_filter_fn", None)
+        return model_cls(**kwargs)
+
     helpers = types.ModuleType("timm.models.helpers")
-    helpers.build_model_with_cfg = _noop
+    helpers.build_model_with_cfg = build_model_with_cfg
     helpers.overlay_external_default_cfg = lambda *a, **k: None
     helpers.named_apply = named_apply
     helpers.load_pretrained = _noop
