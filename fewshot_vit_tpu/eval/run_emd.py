@@ -1,0 +1,110 @@
+"""SUN-D standalone evaluation CLI.
+
+TPU re-design of ``meta_tuning_sun_d/eval.py``: N-way K-shot DeepEMD episodic
+accuracy with 95% CI (default 2000 1-shot / 600 5-shot episodes,
+``meta_tuning_sun_d/README.md:36-39``), SFC for shot>1, grid/sampling/fcn
+patch modes. The whole eval is one scan program on device.
+
+Run: ``python -m fewshot_vit_tpu.eval.run_emd --config configs/sund_mini_visformer_1shot.yaml --shot 1``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import load_config, models
+from ..core import rng as rng_mod
+from .. import models as _models  # noqa: F401
+from .. import heads as _heads  # noqa: F401
+from ..data import datasets as _datasets  # noqa: F401
+from ..checkpoint import load_variables
+from ..data.sampler import EpisodeSampler
+from ..ops.metric import mean_confidence_interval
+from ..train.runner import build_dataset, load_encoder_from_checkpoint
+from .episodic import sub_variables
+
+
+def main():
+    p = argparse.ArgumentParser(description="SUN-D DeepEMD eval")
+    p.add_argument("--config", required=True)
+    p.add_argument("--shot", type=int, default=None)
+    p.add_argument("--episodes", type=int, default=None)
+    p.add_argument("--ep-per-batch", type=int, default=4)
+    args = p.parse_args()
+    rng_mod.enable_compilation_cache()
+    cfg = load_config(args.config)
+
+    from ..train.meta_tune_emd import make_emd_episode_fn, make_patch_fn
+
+    ds = build_dataset(cfg, "test_dataset") or build_dataset(cfg, "val_dataset")
+    way = int(cfg.get("way", 5))
+    shot = args.shot if args.shot is not None else int(cfg.get("shot", 1))
+    query = int(cfg.get("query", 15))
+    n_episodes = args.episodes or (2000 if shot == 1 else 600)
+    mode = cfg.get("deepemd", "grid")
+    img = int(cfg.get("image_size", 80))
+
+    head = models.make(
+        "deepemd",
+        encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
+        encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+        temperature=float(cfg.get("temperature", 12.5)),
+        solver_reg=float(cfg.get("solver_reg", 0.05)),
+        solver_iters=int(cfg.get("solver_iters", 100)),
+        feature_pyramid=cfg.get("feature_pyramid"),
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = head.init(jax.random.key(rng_mod.DEFAULT_SEED),
+                              jnp.zeros((1, img, img, 3)))
+    variables = jax.device_put(variables)
+    path = cfg.get("load") or cfg.get("load_encoder")
+    if path:
+        if cfg.get("load"):
+            variables, _ = load_variables(path)
+        else:
+            enc_vars = load_encoder_from_checkpoint(path, sub_variables(variables, "encoder"))
+            variables = dict(variables)
+            for col, tree in enc_vars.items():
+                variables.setdefault(col, {})["encoder"] = tree
+
+    patch_fn = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
+                             int(cfg.get("num_patch", 9)),
+                             float(cfg.get("patch_ratio", 2.0)), img, False)
+    episode_fn = make_emd_episode_fn(
+        head, way, shot, query, patch_fn, ds.mean, ds.std,
+        sfc=shot > 1, sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
+                              "lr": float(cfg.get("sfc_lr", 0.1)),
+                              "batch_size": int(cfg.get("sfc_bs", 4))},
+    )
+    labels = jnp.tile(jnp.arange(way), query)
+
+    sampler = EpisodeSampler(ds.labels, n_episodes, way, shot + query, 1)
+    rng = rng_mod.np_rng(rng_mod.DEFAULT_SEED)
+    idx = np.stack(list(sampler.epoch(rng)))
+    idx = (idx.reshape(n_episodes, way, shot + query)
+           .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
+    images_dev = jax.device_put(ds.images)
+
+    @jax.jit
+    def run(variables, images, idx, rng):
+        def body(carry, scan_in):
+            idx_e, i = scan_in
+            logits = episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return carry, acc
+
+        _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
+        return accs
+
+    accs = np.asarray(run(variables, images_dev, jnp.asarray(idx),
+                          rng_mod.root_key(rng_mod.DEFAULT_SEED)))
+    m, h = mean_confidence_interval(accs)
+    print(f"{way}-way {shot}-shot ({mode}): acc={m * 100:.2f} +- {h * 100:.2f} (%)  [{n_episodes} episodes]")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""Phase 3b (SUN-D): DeepEMD meta-tuning.
+
+TPU re-design of ``meta_tuning_sun_d/train_meta.py``: episodic CE over
+EMD-matching logits, SGD(nesterov, momentum .9, wd 5e-4) + StepLR(10, .5),
+task-batch gradient accumulation expressed as episode batching, SFC prototype
+refinement for shot>1, NaN-grad zeroing, fixed val episodes. Per-episode work
+(patch pyramid -> encode -> Sinkhorn EMD) runs as ONE vmapped program — the
+reference's per-(query, proto) OpenCV CPU loop (``:114-124``) is gone.
+
+Episode index order is the reference's INTERLEAVED layout
+(``Models/dataloader/samplers.py:5-34``): item-major 'abcdabcd', labels
+``tile(arange(way), query)``.
+
+Run: ``python -m fewshot_vit_tpu.train.meta_tune_emd --config configs/sund_mini_visformer_1shot.yaml``
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import RunLogger, models
+from ..core import rng as rng_mod
+from .. import models as _models  # noqa: F401
+from .. import heads as _heads  # noqa: F401
+from ..data import datasets as _datasets  # noqa: F401
+from ..checkpoint import CheckpointPolicy
+from ..data.patches import grid_patches, sampling_patches
+from ..data.sampler import EpisodeSampler
+from ..heads.deepemd import sfc_refine
+from ..ops.metric import mean_confidence_interval
+from .loop import metrics_mean
+from .optim import make_optimizer, multistep_schedule, zero_nan_grads
+from .runner import build_dataset, load_encoder_from_checkpoint, parse_args, save_dir_for
+from .state import TrainState
+from ..eval.episodic import sub_variables
+
+
+def make_patch_fn(mode: str, patch_list, num_patch: int, patch_ratio: float,
+                  out_size: int, train: bool) -> Callable:
+    """(images u8 (B,H,W,3), rng) -> model input (B[,P],out,out,3) float 0..255."""
+    if mode == "grid":
+        def fn(images, rng):
+            if train:
+                ratio = 1.0 + 2.0 * jax.random.uniform(rng)  # U[1, 3)
+            else:
+                ratio = patch_ratio
+            return grid_patches(images, tuple(patch_list), ratio, out_size)
+    elif mode == "sampling":
+        def fn(images, rng):
+            return sampling_patches(rng, images, num_patch, out_size)
+    elif mode == "fcn":
+        def fn(images, rng):
+            return images.astype(jnp.float32)
+    else:
+        raise ValueError(mode)
+    return fn
+
+
+def make_emd_episode_fn(
+    head, way: int, shot: int, query: int, patch_fn: Callable,
+    mean, std, sfc: bool, sfc_kw=None, train: bool = False,
+):
+    """(variables, images u8 (way*(shot+query), H, W, 3), rng) -> logits (way*query, way).
+
+    Interleaved episode layout: index t*way + w -> (class w, item t)."""
+    sfc_kw = dict(sfc_kw or {})
+
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+
+    def fn(variables, images_u8, rng):
+        k1, k2 = jax.random.split(rng)
+        x = patch_fn(images_u8, k1)  # float [0, 255]
+        x = (x / 255.0 - mean_a) / std_a
+        # BN runs on frozen running stats during EMD tuning: per-episode batch
+        # stats under vmap would diverge per episode (the reference's
+        # DataParallel BN had per-replica drift instead — see SURVEY.md §7
+        # "BatchNorm under data parallelism").
+        nodes = head.apply(variables, x, False, method=head.encode_nodes)
+        k = way * shot
+        shot_nodes = nodes[:k].reshape(shot, way, *nodes.shape[1:])
+        proto = shot_nodes.mean(axis=0)  # (way, N, C)
+        query_nodes = nodes[k:]
+        if sfc and shot > 1:
+            support = nodes[:k]  # interleaved, labels tile(arange(way), shot)
+            proto = sfc_refine(proto, support, way, shot, k2, **sfc_kw)
+        return head.apply(variables, proto, query_nodes, method=head.meta)
+
+    return fn
+
+
+def main(cfg, args) -> TrainState:
+    logger = RunLogger(save_dir_for(cfg, args, f"sund_{cfg.get('train_dataset')}"))
+    logger.log(f"config: {cfg.to_dict()}")
+
+    train_ds = build_dataset(cfg, "train_dataset")
+    val_ds = build_dataset(cfg, "val_dataset") or train_ds
+
+    way = int(cfg.get("way", 5))
+    shot = int(cfg.get("shot", 1))
+    query = int(cfg.get("query", 15))
+    ep_per_batch = int(cfg.get("bs", 1))  # reference task-batch accumulation
+    mode = cfg.get("deepemd", "grid")
+    img = int(cfg.get("image_size", 80))
+
+    head = models.make(
+        "deepemd",
+        encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
+        encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+        temperature=float(cfg.get("temperature", 12.5)),
+        solver_reg=float(cfg.get("solver_reg", 0.05)),
+        solver_iters=int(cfg.get("solver_iters", 100)),
+        feature_pyramid=cfg.get("feature_pyramid"),
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = head.init(jax.random.key(args.seed), jnp.zeros((1, img, img, 3)))
+    variables = jax.device_put(variables)
+    load_enc = cfg.get("load_encoder")
+    if load_enc:
+        enc_vars = load_encoder_from_checkpoint(load_enc, sub_variables(variables, "encoder"))
+        variables = dict(variables)
+        for col, tree in enc_vars.items():
+            variables.setdefault(col, {})["encoder"] = tree
+    else:
+        logger.log("WARNING: no 'load_encoder' — encoder randomly initialized")
+
+    epochs = int(cfg.get("max_epoch", 100))
+    train_batches = int(cfg.get("train_batches", 50))
+    sched = multistep_schedule(
+        float(cfg.get("lr", 5e-4)), train_batches,
+        milestones=list(range(int(cfg.get("step_size", 10)), epochs + 1,
+                              int(cfg.get("step_size", 10)))),
+        gamma=float(cfg.get("gamma", 0.5)),
+    )
+    tx = optax.chain(
+        zero_nan_grads(),  # reference detect_grad_nan
+        optax.add_decayed_weights(5e-4),
+        optax.sgd(sched, momentum=0.9, nesterov=True),
+    )
+    state = TrainState.create(variables, tx)
+
+    patch_train = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
+                                int(cfg.get("num_patch", 9)),
+                                float(cfg.get("patch_ratio", 2.0)), img, True)
+    mean, std = train_ds.mean, train_ds.std
+    episode_fn = make_emd_episode_fn(
+        head, way, shot, query, patch_train, mean, std,
+        sfc=shot > 1, sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
+                              "lr": float(cfg.get("sfc_lr", 0.1)),
+                              "batch_size": int(cfg.get("sfc_bs", 4))},
+        train=True,
+    )
+    labels = jnp.tile(jnp.arange(way), query)
+
+    images_dev = jax.device_put(train_ds.images)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state, images, idx, rng):
+        # idx (S, E, way*(shot+query)) interleaved
+        def body(state, scan_in):
+            idx_b, i = scan_in
+            k = jax.random.fold_in(rng, i)
+
+            def ep_loss(params, e):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                logits = episode_fn(variables, images[idx_b[e]], jax.random.fold_in(k, e))
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), labels
+                ).mean(), logits
+
+            def loss_fn(params):
+                losses, logits = jax.vmap(lambda e: ep_loss(params, e))(
+                    jnp.arange(ep_per_batch)
+                )
+                acc = jnp.mean(
+                    (jnp.argmax(logits, -1) == labels[None]).astype(jnp.float32)
+                )
+                return losses.mean(), acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state), {"loss": loss, "acc": acc}
+
+        state, ms = jax.lax.scan(body, state, (idx, jnp.arange(idx.shape[0])))
+        return state, ms
+
+    # eval episode program (interleaved, fixed patch ratio, SFC in eval as ref)
+    patch_eval = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
+                               int(cfg.get("num_patch", 9)),
+                               float(cfg.get("patch_ratio", 2.0)), img, False)
+    eval_episode_fn = make_emd_episode_fn(
+        head, way, shot, query, patch_eval, mean, std,
+        sfc=shot > 1, sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
+                              "lr": float(cfg.get("sfc_lr", 0.1)),
+                              "batch_size": int(cfg.get("sfc_bs", 4))},
+    )
+    val_images = jax.device_put(val_ds.images)
+
+    @jax.jit
+    def val_fn(variables, images, idx, rng):
+        def body(carry, scan_in):
+            idx_e, i = scan_in
+            logits = eval_episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return carry, acc
+
+        _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
+        return accs
+
+    def interleaved(idx_flat: np.ndarray, n_ep: int) -> np.ndarray:
+        # sampler emits (E, way, n_per) class-major; SUN-D order is item-major
+        return idx_flat.reshape(n_ep, way, shot + query).transpose(0, 2, 1).reshape(n_ep, -1)
+
+    train_sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
+    val_episodes = int(cfg.get("val_episode", 200))
+    val_sampler = EpisodeSampler(val_ds.labels, val_episodes, way, shot + query, 1)
+    val_idx = interleaved(
+        np.stack(list(val_sampler.epoch(rng_mod.np_rng(0)))).reshape(val_episodes, -1),
+        val_episodes,
+    ).astype(np.int32)
+
+    policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
+    root = rng_mod.root_key(args.seed)
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        ep_rng = rng_mod.np_rng(args.seed, epoch)
+        idx = np.stack([
+            interleaved(train_sampler.batch(ep_rng), ep_per_batch)
+            for _ in range(train_batches)
+        ]).astype(np.int32)
+        state, ms = epoch_fn(state, images_dev, jnp.asarray(idx), rng_mod.epoch_key(root, epoch))
+        m = metrics_mean(ms)
+
+        accs = np.asarray(val_fn(state.variables, val_images, jnp.asarray(val_idx),
+                                 rng_mod.epoch_key(root, 0)))
+        va, ci = mean_confidence_interval(accs)
+        logger.log(
+            f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f} | "
+            f"val {way}w{shot}s acc={va:.4f} +- {ci:.4f} ({time.time() - t0:.1f}s)"
+        )
+        logger.metrics(epoch, **m, val_acc=va)
+        policy.on_epoch(epoch, state.variables,
+                        {"model": "deepemd", "deepemd": mode,
+                         "encoder": cfg.get("model_args.encoder")}, va=va)
+    return state
+
+
+if __name__ == "__main__":
+    cfg, args = parse_args("phase-3b SUN-D DeepEMD meta-tuning")
+    main(cfg, args)

@@ -25,6 +25,44 @@ def available() -> bool:
     return True
 
 
+def install_qpth_shim() -> None:
+    """The SUN-D files import qpth (absent); QPFunction is only needed for the
+    qpth training solver, which parity tests don't exercise."""
+    if "qpth" in sys.modules:
+        return
+    qpth = types.ModuleType("qpth")
+    qp = types.ModuleType("qpth.qp")
+
+    class QPFunction:  # pragma: no cover - never called in tests
+        def __init__(self, *a, **k):
+            raise NotImplementedError("qpth shim")
+
+    qp.QPFunction = QPFunction
+    qpth.qp = qp
+    sys.modules["qpth"] = qpth
+    sys.modules["qpth.qp"] = qp
+
+
+def load_sun_d_module(modname: str):
+    """Load a module from meta_tuning_sun_d/Models/models (no registry file)."""
+    install_qpth_shim()
+    pkg_dir = os.path.join(REF_ROOT, "meta_tuning_sun_d", "Models", "models")
+    pkg_name = "refzoo_sun_d"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [pkg_dir]
+        sys.modules[pkg_name] = pkg
+    full = f"{pkg_name}.{modname}"
+    if full not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            full, os.path.join(pkg_dir, f"{modname}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules[full]
+
+
 def load_ref_model_module(phase: str, modname: str):
     """e.g. load_ref_model_module('sun_meta_training', 'visformer')."""
     pkg_dir = os.path.join(REF_ROOT, phase, "models")

@@ -1,0 +1,195 @@
+"""DeepEMD head: component parity vs the reference torch math + SFC behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fewshot_vit_tpu.core import models
+import fewshot_vit_tpu.models  # noqa: F401
+import fewshot_vit_tpu.heads  # noqa: F401
+from fewshot_vit_tpu.heads.deepemd import (
+    DeepEMD,
+    center_normalize,
+    emd_logits,
+    sfc_refine,
+    similarity_map,
+    weight_vector,
+)
+from fewshot_vit_tpu.data.patches import grid_patches, sampling_patches
+from fewshot_vit_tpu.ops.emd import normalize_weights
+
+from . import ref_loader
+from .test_heads_eval import TinyEncoder
+
+
+def node_feats(seed, m, n, c):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(m, n, c)).astype(np.float32)
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
+class TestTorchMathParity:
+    @pytest.fixture(scope="class")
+    def ref_net(self):
+        import argparse
+        import torch
+        from . import timm_shim
+
+        timm_shim.install()
+        net_mod = ref_loader.load_sun_d_module("Network")
+        args = argparse.Namespace(
+            backbone="visformer", metric="cosine", norm="center",
+            temperature=12.5, solver="opencv", form="L2", l2_strength=1e-6,
+            deepemd="fcn", feature_pyramid=None, num_class=64,
+        )
+        torch.manual_seed(0)
+        return net_mod.DeepEMD(args, mode="meta")
+
+    def test_weight_vector(self, ref_net):
+        import torch
+
+        # torch layout (M, C, H, W); ours node-major (M, N, C)
+        a = np.random.default_rng(0).normal(size=(4, 16, 5, 5)).astype(np.float32)
+        b = np.random.default_rng(1).normal(size=(3, 16, 5, 5)).astype(np.float32)
+        with torch.no_grad():
+            want = ref_net.get_weight_vector(torch.from_numpy(a), torch.from_numpy(b))
+        got = weight_vector(
+            jnp.asarray(a.reshape(4, 16, 25).transpose(0, 2, 1)),
+            jnp.asarray(b.reshape(3, 16, 25).transpose(0, 2, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_similarity_map(self, ref_net):
+        import torch
+
+        p = np.random.default_rng(2).normal(size=(3, 16, 5, 5)).astype(np.float32)
+        q = np.random.default_rng(3).normal(size=(4, 16, 5, 5)).astype(np.float32)
+        with torch.no_grad():
+            pn = ref_net.normalize_feature(torch.from_numpy(p))
+            qn = ref_net.normalize_feature(torch.from_numpy(q))
+            want = ref_net.get_similiarity_map(pn, qn)
+        p_nodes = center_normalize(jnp.asarray(p.reshape(3, 16, 25).transpose(0, 2, 1)))
+        q_nodes = center_normalize(jnp.asarray(q.reshape(4, 16, 25).transpose(0, 2, 1)))
+        got = similarity_map(p_nodes, q_nodes)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_logits_with_exact_flows_match_cv2_pipeline(self, ref_net):
+        """End-to-end DeepEMD logits: our weights/similarity + the exact C++
+        solver vs a faithful CPU re-run of the reference's cv2 loop
+        (Network.py:114-124)."""
+        import cv2
+        import torch
+
+        from fewshot_vit_tpu.native.emd import emd_exact
+
+        p = np.random.default_rng(4).normal(size=(3, 16, 5, 5)).astype(np.float32)
+        q = np.random.default_rng(5).normal(size=(4, 16, 5, 5)).astype(np.float32)
+
+        # --- reference pipeline on CPU (replicating Network.py semantics) ---
+        with torch.no_grad():
+            tp, tq = torch.from_numpy(p), torch.from_numpy(q)
+            w1 = ref_net.get_weight_vector(tq, tp)  # (Q, way, N)
+            w2 = ref_net.get_weight_vector(tp, tq)  # (way, Q, N)
+            pn = ref_net.normalize_feature(tp)
+            qn = ref_net.normalize_feature(tq)
+            sim = ref_net.get_similiarity_map(pn, qn).numpy()  # (Q, way, N, N)
+        want = np.zeros((4, 3))
+        for i in range(4):
+            for j in range(3):
+                ww1 = np.maximum(w1[i, j].numpy(), 0) + 1e-5
+                ww2 = np.maximum(w2[j, i].numpy(), 0) + 1e-5
+                ww1 = (ww1 * len(ww1) / ww1.sum()).astype(np.float32).reshape(-1, 1)
+                ww2 = (ww2 * len(ww2) / ww2.sum()).astype(np.float32).reshape(-1, 1)
+                _, _, flow = cv2.EMD(ww1, ww2, cv2.DIST_USER,
+                                     (1 - sim[i, j]).astype(np.float32))
+                want[i, j] = (sim[i, j] * flow).sum() * (12.5 / 25)
+
+        # --- ours, with exact flows substituted for sinkhorn ---
+        p_nodes = jnp.asarray(p.reshape(3, 16, 25).transpose(0, 2, 1))
+        q_nodes = jnp.asarray(q.reshape(4, 16, 25).transpose(0, 2, 1))
+        wq = normalize_weights(weight_vector(q_nodes, p_nodes))
+        wp = normalize_weights(jnp.swapaxes(weight_vector(p_nodes, q_nodes), 0, 1))
+        sim_j = similarity_map(center_normalize(p_nodes), center_normalize(q_nodes))
+        flows, _ = emd_exact(
+            np.asarray(1 - sim_j).reshape(12, 25, 25),
+            np.asarray(wq).reshape(12, 25),
+            np.asarray(wp).reshape(12, 25),
+        )
+        got = (np.asarray(sim_j) * flows.reshape(4, 3, 25, 25)).sum((-1, -2)) * (12.5 / 25)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestHeadAndSFC:
+    def test_sinkhorn_logits_shapes_and_ranking(self):
+        # class-structured nodes: queries should match their own prototype
+        rng = np.random.default_rng(7)
+        protos = rng.normal(size=(5, 25, 32)).astype(np.float32)
+        queries = (np.repeat(protos, 3, axis=0)
+                   + 0.1 * rng.normal(size=(15, 25, 32))).astype(np.float32)
+        logits = emd_logits(jnp.asarray(protos), jnp.asarray(queries))
+        assert logits.shape == (15, 5)
+        pred = np.asarray(logits).argmax(-1)
+        assert (pred == np.repeat(np.arange(5), 3)).mean() > 0.9
+
+    def test_episode_batched(self):
+        rng = np.random.default_rng(8)
+        protos = jnp.asarray(rng.normal(size=(2, 5, 9, 8)), jnp.float32)
+        queries = jnp.asarray(rng.normal(size=(2, 7, 9, 8)), jnp.float32)
+        logits = emd_logits(protos, queries)
+        assert logits.shape == (2, 7, 5)
+
+    def test_sfc_improves_support_fit(self):
+        rng = np.random.default_rng(9)
+        way, shot = 4, 3
+        base = rng.normal(size=(way, 9, 16)).astype(np.float32)
+        support = (np.repeat(base[None], shot, 0).reshape(way * shot, 9, 16)
+                   + 0.4 * rng.normal(size=(way * shot, 9, 16))).astype(np.float32)
+        # class-major order as the reference: label = arange(way).repeat(shot)
+        support_cm = support.reshape(shot, way, 9, 16).transpose(1, 0, 2, 3)
+        support_flat = support_cm.transpose(1, 0, 2, 3).reshape(way * shot, 9, 16)
+        proto0 = jnp.asarray(support_cm.mean(1))
+
+        def support_acc(proto):
+            logits = emd_logits(proto, jnp.asarray(support_flat))
+            labels = np.tile(np.arange(way), shot)
+            return float((np.asarray(logits).argmax(-1) == labels).mean())
+
+        refined = sfc_refine(
+            proto0, jnp.asarray(support_flat), way, shot,
+            jax.random.key(0), steps=20, lr=0.5, batch_size=4,
+        )
+        assert refined.shape == proto0.shape
+        assert support_acc(refined) >= support_acc(proto0)
+
+    def test_encode_nodes_patches(self):
+        head = DeepEMD(encoder=TinyEncoder())
+        x5 = jnp.zeros((3, 4, 16, 16, 3))
+        v = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        nodes = head.apply(v, x5, method=head.encode_nodes)
+        assert nodes.shape == (3, 4, 16)
+        dense_nodes = head.apply(v, jnp.zeros((3, 16, 16, 3)), method=head.encode_nodes)
+        assert dense_nodes.shape == (3, 4, 16)  # 2x2 dense map -> 4 nodes
+
+
+class TestPatchPipelines:
+    def test_grid_geometry(self):
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 255, (2, 80, 80, 3)), jnp.uint8)
+        out = grid_patches(x, patch_list=(2, 3), ratio=2.0, out_size=80)
+        assert out.shape == (2, 13, 80, 80, 3)
+        # ratio=1, g=1 reproduces a (resized) full image
+        full = grid_patches(x, patch_list=(1,), ratio=1.0, out_size=80)
+        np.testing.assert_allclose(
+            np.asarray(full[:, 0]), np.asarray(x, np.float32), atol=1e-3
+        )
+
+    def test_grid_traced_ratio(self):
+        x = jnp.zeros((1, 80, 80, 3), jnp.uint8)
+        fn = jax.jit(lambda im, r: grid_patches(im, (2, 3), r, 80))
+        out = fn(x, jnp.asarray(1.7))
+        assert out.shape == (1, 13, 80, 80, 3)
+
+    def test_sampling(self):
+        x = jnp.zeros((2, 80, 80, 3), jnp.uint8)
+        out = sampling_patches(jax.random.key(0), x, num_patch=9)
+        assert out.shape == (2, 9, 80, 80, 3)
