@@ -165,6 +165,57 @@ def image_folder(
     return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(split_classes))
 
 
+@datasets.register("fc100")
+def fc100(
+    root_path: str = DEFAULT_ROOT,
+    split: str = "train",
+    image_size: int = 80,
+    protocol: str = "resize_crop",
+    **_: object,
+) -> ArrayDataset:
+    """Class-folder tree ``FC100/{split}/<class>/*`` (reference
+    ``Models/dataloader/fc100/fcn/fc100.py:12-39``)."""
+    from PIL import Image
+
+    split_dir = os.path.join(root_path, split)
+    classes = [d for d in sorted(os.listdir(split_dir))
+               if os.path.isdir(os.path.join(split_dir, d))]
+    imgs, labels = [], []
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(split_dir, cname)
+        for fname in sorted(os.listdir(cdir)):
+            im = np.asarray(Image.open(os.path.join(cdir, fname)).convert("RGB"), np.uint8)
+            imgs.append(_apply_eval_geometry(im[None], image_size, protocol)[0])
+            labels.append(ci)
+    return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(classes))
+
+
+@datasets.register("cub")
+def cub(
+    root_path: str = DEFAULT_ROOT,
+    split: str = "train",
+    image_size: int = 80,
+    protocol: str = "resize_crop",
+    **_: object,
+) -> ArrayDataset:
+    """CUB with csv splits ``cub/split/{split}.csv`` mapping image path ->
+    wnid (reference ``Models/dataloader/cub/fcn/cub.py:12-40``, including the
+    broken train image at line 5864 being dropped)."""
+    from PIL import Image
+
+    with open(os.path.join(root_path, "split", f"{split}.csv")) as f:
+        lines = [x.strip() for x in f.readlines()][1:]
+    if split == "train" and len(lines) > 5864:
+        lines.pop(5864)  # reference: broken image file
+    imgs, labels, wnids = [], [], {}
+    for line in lines:
+        name, wnid = line.split(",")[:2]
+        labels.append(wnids.setdefault(wnid, len(wnids)))
+        im = np.asarray(Image.open(os.path.join(root_path, name)).convert("RGB"), np.uint8)
+        imgs.append(_apply_eval_geometry(im[None], image_size, protocol)[0])
+    return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(wnids))
+
+
 @datasets.register("synthetic")
 def synthetic(
     n_classes: int = 20,

@@ -1,0 +1,104 @@
+"""Attention-map visualization.
+
+Re-design of ``fewshot_vit_vis_attn_template.py:86-109``: synthesize a
+cls-token attention map from the encoder's dense features — mean-pooled
+pseudo-cls token split into 16 pseudo-heads, scaled dot-product softmax over
+patch tokens, head-averaged — then min-max normalize, square for contrast,
+upsample to the image size, JET-colormap and alpha-blend (0.7 img / 0.3 map)
+onto the denormalized image, written as JPGs.
+
+Run: ``python -m fewshot_vit_tpu.eval.visualize --config configs/test_mini_1shot.yaml --out vis/ --n 16``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import load_config
+from ..core import rng as rng_mod
+from ..data.transforms import denormalize, normalize
+
+
+def attention_maps(dense: jax.Array, num_heads: int = 16) -> jax.Array:
+    """Dense features (B, H, W, C) -> attention maps (B, H, W) in [0, 1]."""
+    b, h, w, c = dense.shape
+    hd = c // num_heads
+    tokens = dense.reshape(b, h * w, num_heads, hd)
+    cls = tokens.mean(axis=1, keepdims=True)  # (B, 1, heads, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", cls, tokens) / (hd ** 0.5)
+    attn = jax.nn.softmax(attn, axis=-1)
+    amap = attn.mean(axis=(1, 2)).reshape(b, h, w)  # mean over heads + query
+    lo = amap.min(axis=(1, 2), keepdims=True)
+    hi = amap.max(axis=(1, 2), keepdims=True)
+    return (amap - lo) / jnp.maximum(hi - lo, 1e-8)
+
+
+_JET = None
+
+
+def _jet(x: np.ndarray) -> np.ndarray:
+    """OpenCV-style JET colormap for x in [0,1] -> uint8 RGB."""
+    v = np.clip(x, 0, 1) * 4.0
+    r = np.clip(np.minimum(v - 1.5, -v + 4.5), 0, 1)
+    g = np.clip(np.minimum(v - 0.5, -v + 3.5), 0, 1)
+    b = np.clip(np.minimum(v + 0.5, -v + 2.5), 0, 1)
+    return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+
+
+def overlay(image_norm: np.ndarray, amap: np.ndarray,
+            mean=None, std=None, img_weight: float = 0.7) -> np.ndarray:
+    """Blend a JET-colored attention map over a normalized image -> uint8 RGB."""
+    from PIL import Image
+
+    img = np.asarray(denormalize(jnp.asarray(image_norm),
+                                 *( (mean, std) if mean is not None else ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)) )))
+    img = np.clip(img * 255.0, 0, 255)
+    h, w = img.shape[:2]
+    am = np.asarray(Image.fromarray((amap * 255).astype(np.uint8)).resize((w, h), Image.BILINEAR), np.float32) / 255.0
+    am = am ** 2  # contrast, as the reference
+    heat = _jet(am)
+    return (img * img_weight + heat * (1 - img_weight)).astype(np.uint8)
+
+
+def main():
+    p = argparse.ArgumentParser(description="attention visualization")
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", default="./vis")
+    p.add_argument("--n", type=int, default=16)
+    args = p.parse_args()
+    rng_mod.enable_compilation_cache()
+    cfg = load_config(args.config)
+
+    from ..core.registry import datasets as dataset_registry
+    from .. import models as _models  # noqa: F401
+    from .. import heads as _heads  # noqa: F401
+    from ..data import datasets as _datasets  # noqa: F401
+    from .run import load_model_for_eval
+    from PIL import Image
+
+    ds = dataset_registry.make(cfg.get("dataset", "mini-imagenet"),
+                               **dict(cfg.get("dataset_args", {}) or {}))
+    head, variables = load_model_for_eval(cfg)
+    from .episodic import sub_variables
+
+    enc_vars = sub_variables(variables, "encoder")
+
+    os.makedirs(args.out, exist_ok=True)
+    imgs = jnp.asarray(ds.images[: args.n])
+    x = normalize(imgs, ds.mean, ds.std)
+    dense, _ = head.encoder.apply(enc_vars, x, train=False)
+    maps = np.asarray(attention_maps(dense))
+    x_np = np.asarray(x)
+    for i in range(args.n):
+        out = overlay(x_np[i], maps[i], ds.mean, ds.std)
+        Image.fromarray(out).save(os.path.join(args.out, f"{i}.jpg"))
+    print(f"wrote {args.n} overlays to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

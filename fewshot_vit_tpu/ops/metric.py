@@ -61,6 +61,46 @@ def per_episode_acc(logits: jax.Array, label: jax.Array) -> jax.Array:
     return jnp.mean((pred == label).astype(jnp.float32), axis=-1)
 
 
+def compute_logits_kshot(
+    feat: jax.Array, proto: jax.Array, temp: jax.Array | float = 1.0
+) -> jax.Array:
+    """Per-shot cosine logits (reference ``compute_logits_kshot``,
+    ``utils/__init__.py:103-106``): feat (B,M,K,C), proto (B,N,K,C) -> (B,N,K)."""
+    return jnp.einsum(
+        "bmkc,bnkc->bnk", l2_normalize(proto), l2_normalize(feat)
+    ) * temp
+
+
+def compute_logits_local_kshot(
+    feat: jax.Array, proto: jax.Array, temp: jax.Array | float = 1.0
+) -> jax.Array:
+    """Mean local cosine similarity over the last-but-one axis (reference
+    ``compute_logits_local_kshot``, ``utils/__init__.py:108-112``)."""
+    cos = jnp.sum(l2_normalize(feat) * l2_normalize(proto), axis=-1)
+    return jnp.mean(cos, axis=-1) * temp
+
+
+def compute_acc_kshots(logits: jax.Array, label: jax.Array, shot: int = 5) -> jax.Array:
+    """Max-over-shots accuracy (reference ``compute_acc_kshots``,
+    ``utils/__init__.py:121-128``): logits (B, way*shot) -> per-class max."""
+    per_class = jnp.max(logits.reshape(logits.shape[0], -1, shot), axis=-1)
+    pred = jnp.argmax(per_class, axis=1)
+    return jnp.mean((pred == label).astype(jnp.float32))
+
+
+def softmax_kl_loss(
+    input_logits: jax.Array, target_logits: jax.Array, matching: jax.Array
+) -> jax.Array:
+    """Masked softmax-KL (reference ``softmax_kl_loss``,
+    ``utils/__init__.py:198-208``): KL(target || input) weighted by
+    ``matching``, summed and normalized by the mask sum. Gradients flow to
+    ``input_logits`` only."""
+    logp = jax.nn.log_softmax(input_logits, axis=1)
+    q = jax.lax.stop_gradient(jax.nn.softmax(target_logits, axis=1))
+    kl = q * (jnp.log(jnp.clip(q, 1e-12)) - logp)
+    return jnp.sum(kl * matching) / jnp.sum(matching)
+
+
 def mean_confidence_interval(accs, confidence: float = 0.95):
     """(mean, halfwidth) of a Student-t confidence interval over episode accs.
 

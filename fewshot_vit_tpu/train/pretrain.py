@@ -29,6 +29,7 @@ from .runner import (
     build_optimizer,
     fs_eval,
     parse_args,
+    profile_epoch,
     save_dir_for,
 )
 from .state import TrainState
@@ -87,10 +88,11 @@ def main(cfg, args) -> TrainState:
     for epoch in range(1, epochs + 1):
         t0 = time.time()
         idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch))
-        state, ms = epoch_fn(
-            state, images_dev, labels_dev, jnp.asarray(idx),
-            rng_mod.epoch_key(root, epoch),
-        )
+        with profile_epoch(args, epoch):
+            state, ms = epoch_fn(
+                state, images_dev, labels_dev, jnp.asarray(idx),
+                rng_mod.epoch_key(root, epoch),
+            )
         m = metrics_mean(ms)
         line = f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f}"
 

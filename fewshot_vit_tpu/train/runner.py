@@ -31,10 +31,22 @@ def parse_args(description: str) -> Tuple[Config, argparse.Namespace]:
     p.add_argument("--tag", default=None)
     p.add_argument("--seed", type=int, default=rng_mod.DEFAULT_SEED)
     p.add_argument("--save-root", default="./save")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of epoch 2 here")
     args = p.parse_args()
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
     return cfg, args
+
+
+def profile_epoch(args, epoch: int):
+    """Context manager: jax.profiler trace around epoch 2 when --profile-dir
+    is set (replaces the reference's wall-clock-only Timer, SURVEY.md §5.1)."""
+    import contextlib
+
+    if getattr(args, "profile_dir", None) and epoch == 2:
+        return jax.profiler.trace(args.profile_dir)
+    return contextlib.nullcontext()
 
 
 def save_dir_for(cfg: Config, args: argparse.Namespace, default_name: str) -> str:

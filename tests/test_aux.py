@@ -1,0 +1,150 @@
+"""Aux components: SAM, k-shot metric variants, KL loss, attention vis, FC100/CUB loaders."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from fewshot_vit_tpu.core import datasets
+import fewshot_vit_tpu.data.datasets  # noqa: F401
+from fewshot_vit_tpu.eval.visualize import _jet, attention_maps, overlay
+from fewshot_vit_tpu.heads import Classifier, LinearClassifier
+from fewshot_vit_tpu.ops.metric import (
+    compute_acc_kshots,
+    compute_logits_kshot,
+    compute_logits_local_kshot,
+    softmax_kl_loss,
+)
+from fewshot_vit_tpu.train import TrainState, make_optimizer
+from fewshot_vit_tpu.train.sam import make_sam_pretrain_step, sam_gradient
+
+from .test_heads_eval import TinyEncoder
+from .test_train import small_batch
+
+
+class TestSAM:
+    def test_gradient_shape_and_difference(self):
+        def loss(p):
+            return jnp.sum(jnp.sin(p["w"]) ** 2)
+
+        params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(8,)), jnp.float32)}
+        g_sam, l = sam_gradient(loss, params, rho=0.5)
+        g_plain = jax.grad(loss)(params)
+        assert g_sam["w"].shape == (8,)
+        # perturbed-point grads differ from plain grads
+        assert float(jnp.abs(g_sam["w"] - g_plain["w"]).max()) > 1e-4
+        # rho=0 recovers plain gradients
+        g0, _ = sam_gradient(loss, params, rho=0.0)
+        np.testing.assert_allclose(np.asarray(g0["w"]), np.asarray(g_plain["w"]), rtol=1e-5)
+
+    def test_sam_pretrain_step_learns(self):
+        model = Classifier(encoder=TinyEncoder(), classifier=LinearClassifier(6, name="classifier"))
+        images, labels = small_batch()
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(variables["params"], "adamw", lr=5e-3)
+        state = TrainState.create(variables, tx)
+        step = make_sam_pretrain_step(model, tx, rho=0.05)
+        first = last = None
+        for i in range(20):
+            state, m = step(state, images, labels, jax.random.key(i))
+            first = first if first is not None else float(m["loss"])
+            last = float(m["loss"])
+        assert last < first
+
+
+class TestKshotMetrics:
+    def test_compute_logits_kshot(self):
+        rng = np.random.default_rng(0)
+        feat = rng.normal(size=(2, 3, 4, 8)).astype(np.float32)
+        proto = rng.normal(size=(2, 5, 4, 8)).astype(np.float32)
+        out = compute_logits_kshot(jnp.asarray(feat), jnp.asarray(proto), temp=2.0)
+        fn = feat / np.linalg.norm(feat, axis=-1, keepdims=True)
+        pn = proto / np.linalg.norm(proto, axis=-1, keepdims=True)
+        want = 2.0 * np.einsum("bmkc,bnkc->bnk", pn, fn)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+    def test_local_kshot(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(3, 6, 8)).astype(np.float32)
+        out = compute_logits_local_kshot(jnp.asarray(a), jnp.asarray(a), temp=3.0)
+        np.testing.assert_allclose(np.asarray(out), 3.0 * np.ones((3,)), rtol=1e-5)
+
+    def test_acc_kshots(self):
+        # 2 samples, way=2, shot=2: per-class max then argmax
+        logits = jnp.asarray([[0.1, 0.9, 0.5, 0.2], [0.9, 0.1, 0.0, 0.95]])
+        label = jnp.asarray([0, 1])
+        acc = float(compute_acc_kshots(logits, label, shot=2))
+        assert acc == pytest.approx(1.0)
+
+    def test_softmax_kl(self):
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+        m = jnp.ones((4, 6))
+        assert float(softmax_kl_loss(a, a, m)) == pytest.approx(0.0, abs=1e-6)
+        b = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+        assert float(softmax_kl_loss(a, b, m)) > 0
+
+
+class TestVisualize:
+    def test_attention_maps_and_overlay(self, tmp_path):
+        rng = np.random.default_rng(3)
+        dense = jnp.asarray(rng.normal(size=(2, 5, 5, 64)), jnp.float32)
+        maps = np.asarray(attention_maps(dense))
+        assert maps.shape == (2, 5, 5)
+        assert maps.min() >= 0 and maps.max() <= 1.0 + 1e-6
+        img_norm = rng.normal(size=(80, 80, 3)).astype(np.float32) * 0.2
+        out = overlay(img_norm, maps[0])
+        assert out.shape == (80, 80, 3) and out.dtype == np.uint8
+
+    def test_jet_endpoints(self):
+        cold = _jet(np.zeros((1,)))
+        hot = _jet(np.ones((1,)))
+        # JET endpoints are dark blue / dark red (~128), mid is green-ish
+        assert cold[0, 2] > 100 and cold[0, 0] < 50  # blue end
+        assert hot[0, 0] > 100 and hot[0, 2] < 50  # red end
+        mid = _jet(np.full((1,), 0.5))
+        assert mid[0, 1] > 200  # green center
+
+
+class TestFolderDatasets:
+    def _make_tree(self, root, splits=("train",), n_cls=3, n_img=4, size=32):
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        for split in splits:
+            for c in range(n_cls):
+                d = os.path.join(root, split, f"class{c}")
+                os.makedirs(d)
+                for i in range(n_img):
+                    Image.fromarray(
+                        rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+                    ).save(os.path.join(d, f"{i}.png"))
+
+    def test_fc100(self, tmp_path):
+        self._make_tree(str(tmp_path))
+        ds = datasets.make("fc100", root_path=str(tmp_path), split="train",
+                           image_size=32, protocol="raw")
+        assert len(ds) == 12 and ds.n_classes == 3
+        assert ds.images.shape == (12, 32, 32, 3)
+
+    def test_cub(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(1)
+        os.makedirs(tmp_path / "split")
+        os.makedirs(tmp_path / "images")
+        lines = ["filename,label"]
+        for c in range(2):
+            for i in range(3):
+                name = f"images/c{c}_{i}.jpg"
+                Image.fromarray(
+                    rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+                ).save(tmp_path / name)
+                lines.append(f"{name},wnid{c}")
+        (tmp_path / "split" / "test.csv").write_text("\n".join(lines))
+        ds = datasets.make("cub", root_path=str(tmp_path), split="test", image_size=32)
+        assert len(ds) == 6 and ds.n_classes == 2
+        assert ds.images.shape == (6, 32, 32, 3)
