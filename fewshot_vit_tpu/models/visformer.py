@@ -124,6 +124,7 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False  # fused kernel for long token axes (see kernels/)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,10 +142,17 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, T, heads, d)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        # Pallas fusion pays off only on the longer token axes (measured:
+        # ~2x at T=100, slower at T=25 where tile padding dominates)
+        if self.use_pallas and not train and self.attn_drop == 0.0 and h * w >= 64:
+            from ..kernels.attention import attention_core
+
+            out = attention_core(q, k, v, scale, use_pallas=True)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, h, w, heads * head_dim)
         out = nn.Dense(
             self.dim, use_bias=False, kernel_init=kaiming_out_init,
@@ -167,6 +175,7 @@ class Block(nn.Module):
     group: int = 8
     attn_disabled: bool = False
     spatial_conv: bool = False
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -176,7 +185,8 @@ class Block(nn.Module):
             y = BatchNorm(dtype=self.dtype, name="norm1")(x, train)
             y = Attention(
                 self.dim, self.num_heads, self.head_dim_ratio, self.qkv_bias,
-                self.attn_drop, self.drop, dtype=self.dtype, name="attn",
+                self.attn_drop, self.drop, use_pallas=self.use_pallas,
+                dtype=self.dtype, name="attn",
             )(y, train)
             x = x + dp(y, deterministic=not train)
         y = BatchNorm(dtype=self.dtype, name="norm2")(x, train)
@@ -220,6 +230,7 @@ class Visformer(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    use_pallas_attn: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -247,6 +258,7 @@ class Visformer(nn.Module):
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=dpr[first + i], group=self.group,
                     attn_disabled=attn_off, spatial_conv=sp_conv,
+                    use_pallas=self.use_pallas_attn,
                     dtype=self.dtype, name=f"{prefix}_{i}",
                 )(x, train)
             return x
