@@ -70,15 +70,26 @@ def evaluate(
     ep_per_batch: int = 8,
     seed: int = rng_mod.DEFAULT_SEED,
     images_dev: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[float, float, np.ndarray]:
     """Full-protocol eval (re-encode every episode). Returns (acc, ci95, accs).
 
     Pass ``images_dev`` (device-resident ``dataset.images``) to amortize the
-    one-time upload across calls.
+    one-time upload across calls. Pass ``mesh`` (a `jax.sharding.Mesh` with a
+    ``data`` axis) to shard the per-batch image axis across chips — episode
+    parallelism over ICI, variables and the dataset replicated.
     """
     idx_all = sample_episode_indices(
         dataset, n_episodes, way, shot + query, ep_per_batch, seed
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        images_dev = jax.device_put(dataset.images, NamedSharding(mesh, P()))
+        idx_all = jax.device_put(
+            jnp.asarray(idx_all), NamedSharding(mesh, P(None, "data"))
+        )
     if images_dev is None:
         images_dev = jax.device_put(dataset.images)
     labels = make_nk_label(way, query, ep_per_batch)

@@ -148,3 +148,28 @@ class TestEvalEngine:
         enc_vars = sub_variables(variables, "encoder")
         feats = encode_dataset(enc, enc_vars, ds, batch_size=64)
         assert feats.shape == (len(ds), 16)
+
+
+class TestShardedEval:
+    def test_mesh_eval_matches_single(self, devices8):
+        """Episode-parallel eval over an 8-device data mesh must reproduce the
+        single-device accuracies exactly."""
+        from fewshot_vit_tpu.core import datasets as dataset_registry
+        from fewshot_vit_tpu.parallel import make_mesh
+
+        ds = dataset_registry.make("synthetic", n_classes=12, n_per_class=25, image_size=16)
+        head = MetaBaseline(encoder=TinyEncoder(), temp_learnable=False)
+        xs = jnp.zeros((1, 5, 1, 16, 16, 3))
+        xq = jnp.zeros((1, 15, 16, 16, 3))
+        variables = head.init(jax.random.key(0), xs, xq)
+
+        _, _, accs_single = evaluate(
+            head, variables, ds, n_episodes=16, way=5, shot=1, query=15,
+            ep_per_batch=8, seed=7,
+        )
+        mesh = make_mesh({"data": 8}, devices8)
+        _, _, accs_mesh = evaluate(
+            head, variables, ds, n_episodes=16, way=5, shot=1, query=15,
+            ep_per_batch=8, seed=7, mesh=mesh,
+        )
+        np.testing.assert_allclose(accs_single, accs_mesh, atol=1e-6)
