@@ -66,6 +66,26 @@ def main(cfg, args) -> TrainState:
 
     images_dev = jax.device_put(train_ds.images)
     labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
+
+    mesh_cfg = cfg.get("mesh")
+    batch_shard = None
+    if mesh_cfg:
+        # multi-chip: dp over the batch axis, optional tp on wide kernels
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh, param_shardings, replicated
+
+        mesh = make_mesh({k: int(v) for k, v in dict(mesh_cfg).items()})
+        logger.log(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+        pshard = param_shardings(mesh, state.params)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, pshard)
+        state = TrainState.create(
+            {"params": params, "batch_stats": jax.device_put(state.batch_stats, replicated(mesh))},
+            tx,
+        )
+        images_dev = jax.device_put(train_ds.images, replicated(mesh))
+        labels_dev = jax.device_put(train_ds.labels.astype(np.int32), replicated(mesh))
+        batch_shard = NamedSharding(mesh, P(None, "data"))  # idx (steps, batch)
     preprocess_fn = None
     if cfg.get("augment") == "cropaug":
         # timm create_transform pipeline, on device (reference 'cropaug' path)
@@ -88,9 +108,12 @@ def main(cfg, args) -> TrainState:
     for epoch in range(1, epochs + 1):
         t0 = time.time()
         idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch))
+        idx = jnp.asarray(idx)
+        if batch_shard is not None:
+            idx = jax.device_put(idx, batch_shard)
         with profile_epoch(args, epoch):
             state, ms = epoch_fn(
-                state, images_dev, labels_dev, jnp.asarray(idx),
+                state, images_dev, labels_dev, idx,
                 rng_mod.epoch_key(root, epoch),
             )
         m = metrics_mean(ms)
@@ -115,6 +138,25 @@ def main(cfg, args) -> TrainState:
         policy.on_epoch(epoch, state.variables,
                         {"model": "classifier", "n_classes": n_classes,
                          "encoder": cfg.get("model_args.encoder")}, va=va)
+
+    if cfg.get("epoch_ex"):
+        # reference 'extra epoch with the default transform' -> epoch-ex.pth
+        # (train_classifier.py:141-148, 253-274): one more epoch WITHOUT the
+        # stochastic augmentation pipeline
+        from ..checkpoint import save_variables
+
+        plain_epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std)
+        idx = jnp.asarray(batch_indices(len(train_ds), batch_size,
+                                        rng_mod.np_rng(args.seed, epochs + 1)))
+        if batch_shard is not None:
+            idx = jax.device_put(idx, batch_shard)
+        state, ms = plain_epoch_fn(state, images_dev, labels_dev, idx,
+                                   rng_mod.epoch_key(root, epochs + 1))
+        m = metrics_mean(ms)
+        logger.log(f"epoch-ex train loss={m['loss']:.4f} acc={m['acc']:.4f}")
+        save_variables(f"{logger.save_dir}/epoch-ex", state.variables,
+                       {"model": "classifier", "n_classes": n_classes,
+                        "encoder": cfg.get("model_args.encoder"), "epoch": "ex"})
     return state
 
 
