@@ -49,6 +49,18 @@ def time_str(t: float) -> str:
     return f"{t:.1f}s"
 
 
+def compute_n_params(params, return_str: bool = True):
+    """Total parameter count, optionally as the reference's '12.4M' string
+    (``utils/__init__.py:131-144``). Accepts any pytree of arrays."""
+    import jax
+    import numpy as np
+
+    tot = int(sum(np.prod(np.shape(p)) for p in jax.tree_util.tree_leaves(params)))
+    if not return_str:
+        return tot
+    return f"{tot / 1e6:.1f}M" if tot >= 1e6 else f"{tot / 1e3:.1f}K"
+
+
 class RunLogger:
     """Text log + JSONL metric stream for one training/eval run."""
 

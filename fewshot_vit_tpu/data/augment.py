@@ -212,8 +212,11 @@ def equalize(x: jax.Array) -> jax.Array:
     xi = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)  # (B,H,W,3)
     b, h, w, c = xi.shape
     flat = xi.reshape(b, h * w, c)
-    onehot = jax.nn.one_hot(flat, 256, dtype=jnp.float32)  # (B,HW,3,256)
-    hist = jnp.sum(onehot, axis=1)  # (B,3,256)
+    # one-hot reduction histogram: measured faster on TPU than segment_sum
+    # scatter (248 vs 351 ms at batch 512) — the VPU eats the dense compare,
+    # scatters serialize
+    onehot = jax.nn.one_hot(flat, 256, dtype=jnp.float32)  # (B,HW,C,256)
+    hist = jnp.sum(onehot, axis=1)  # (B,C,256)
 
     # PIL: step = (pixels - last nonzero bin count) // 255
     idx = jnp.arange(256, dtype=jnp.float32)

@@ -6,7 +6,7 @@ re-exports them under the familiar names so users migrating from
 DongSky/few-shot-vit find everything in one place.
 """
 
-from ..core.log import Averager, RunLogger, Timer, time_str
+from ..core.log import Averager, RunLogger, Timer, compute_n_params, time_str
 from ..core.rng import DEFAULT_SEED, epoch_key, np_rng, root_key
 from ..ops.episodes import make_nk_label, split_shot_query
 from ..ops.metric import (
@@ -24,7 +24,7 @@ from ..train.optim import make_optimizer, zero_nan_grads
 from ..train.state import ema_update
 
 __all__ = [
-    "Averager", "RunLogger", "Timer", "time_str",
+    "Averager", "RunLogger", "Timer", "compute_n_params", "time_str",
     "DEFAULT_SEED", "epoch_key", "np_rng", "root_key",
     "make_nk_label", "split_shot_query",
     "compute_acc", "compute_acc_kshots", "compute_logits",
