@@ -55,6 +55,7 @@ def main():
         temperature=float(cfg.get("temperature", 12.5)),
         solver_reg=float(cfg.get("solver_reg", 0.05)),
         solver_iters=int(cfg.get("solver_iters", 100)),
+        solver=cfg.get("solver", "opencv"),
         feature_pyramid=cfg.get("feature_pyramid"),
     )
     with jax.default_device(jax.devices("cpu")[0]):

@@ -77,6 +77,7 @@ def emd_logits(
     norm: str = "center",
     solver_reg: float = 0.05,
     solver_iters: int = 100,
+    differentiable: bool = False,
 ) -> jax.Array:
     """Full DeepEMD matching: proto (..., way, N, C), query (..., Q, N, C) ->
     logits (..., Q, way). Mirrors ``emd_forward_1shot`` (``:67-81``)."""
@@ -90,7 +91,8 @@ def emd_logits(
 
     w1 = normalize_weights(w_query)
     w2 = normalize_weights(w_proto)
-    flow = sinkhorn(1.0 - sim, w1, w2, reg=solver_reg, iters=solver_iters)
+    flow = sinkhorn(1.0 - sim, w1, w2, reg=solver_reg, iters=solver_iters,
+                    differentiable=differentiable)
     return emd_distance(sim, flow, temperature)
 
 
@@ -160,6 +162,9 @@ class DeepEMD(nn.Module):
     norm: str = "center"
     solver_reg: float = 0.05
     solver_iters: int = 100
+    # 'opencv' semantics = stop-gradient flows; 'qpth' = flows differentiable
+    # through the unrolled Sinkhorn iterations (reference Network.py:77-80)
+    solver: str = "opencv"
     feature_pyramid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
 
@@ -199,6 +204,7 @@ class DeepEMD(nn.Module):
             proto_nodes, query_nodes,
             temperature=self.temperature, metric=self.metric, norm=self.norm,
             solver_reg=self.solver_reg, solver_iters=self.solver_iters,
+            differentiable=self.solver == "qpth",
         )
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -218,6 +224,7 @@ def make_deepemd(
     norm: str = "center",
     solver_reg: float = 0.05,
     solver_iters: int = 100,
+    solver: str = "opencv",
     feature_pyramid: Optional[Sequence[int]] = None,
     dtype: Any = jnp.float32,
 ) -> DeepEMD:
@@ -225,5 +232,6 @@ def make_deepemd(
     return DeepEMD(
         encoder=enc, n_classes=n_classes, temperature=temperature,
         metric=metric, norm=norm, solver_reg=solver_reg,
-        solver_iters=solver_iters, feature_pyramid=feature_pyramid, dtype=dtype,
+        solver_iters=solver_iters, solver=solver,
+        feature_pyramid=feature_pyramid, dtype=dtype,
     )

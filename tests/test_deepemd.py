@@ -193,3 +193,21 @@ class TestPatchPipelines:
         x = jnp.zeros((2, 80, 80, 3), jnp.uint8)
         out = sampling_patches(jax.random.key(0), x, num_patch=9)
         assert out.shape == (2, 9, 80, 80, 3)
+
+
+class TestDifferentiableFlows:
+    def test_qpth_mode_passes_gradients_through_flows(self):
+        rng = np.random.default_rng(11)
+        protos = jnp.asarray(rng.normal(size=(3, 9, 8)), jnp.float32)
+        queries = jnp.asarray(rng.normal(size=(4, 9, 8)), jnp.float32)
+
+        def loss(p, diff):
+            lg = emd_logits(p, queries, solver_iters=20, differentiable=diff)
+            return jnp.sum(lg[:, 0])
+
+        g_stop = jax.grad(lambda p: loss(p, False))(protos)
+        g_diff = jax.grad(lambda p: loss(p, True))(protos)
+        # both finite; the differentiable path adds the flow-gradient term
+        assert np.isfinite(np.asarray(g_stop)).all()
+        assert np.isfinite(np.asarray(g_diff)).all()
+        assert float(jnp.abs(g_stop - g_diff).max()) > 1e-6
