@@ -92,13 +92,33 @@ def evaluate(
         )
     if images_dev is None:
         images_dev = jax.device_put(dataset.images)
+    run = _eval_run_fn(head_model, way, shot, query, ep_per_batch,
+                       tuple(np.asarray(dataset.mean).tolist()),
+                       tuple(np.asarray(dataset.std).tolist()))
+    accs = np.asarray(run(variables, images_dev, jnp.asarray(idx_all)))[:n_episodes]
+    m, h = mean_confidence_interval(accs)
+    return m, h, accs
+
+
+# jitted-callable cache: a fresh closure per call would force a full recompile
+# on every invocation (training loops call evaluate() each epoch — on this
+# box's remote-compile path that is ~a minute of wasted wall per epoch)
+_EVAL_RUN_CACHE: dict = {}
+
+
+def _eval_run_fn(head_model, way, shot, query, ep_per_batch, mean, std):
+    key = (id(head_model), way, shot, query, ep_per_batch, mean, std)
+    hit = _EVAL_RUN_CACHE.get(key)
+    if hit is not None and hit[0] is head_model:
+        return hit[1]
     labels = make_nk_label(way, query, ep_per_batch)
-    mean, std = dataset.mean, dataset.std
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
 
     @jax.jit
     def run(variables, images, idx_all):
         def body(carry, idx):
-            x = normalize(images[idx], mean, std)
+            x = normalize(images[idx], mean_a, std_a)
             xs, xq = split_shot_query(x, way, shot, query, ep_per_batch)
             logits = head_model.apply(variables, xs, xq, train=False)
             return carry, per_episode_acc(logits, labels)
@@ -106,9 +126,8 @@ def evaluate(
         _, accs = jax.lax.scan(body, None, idx_all)
         return accs.reshape(-1)
 
-    accs = np.asarray(run(variables, images_dev, jnp.asarray(idx_all)))[:n_episodes]
-    m, h = mean_confidence_interval(accs)
-    return m, h, accs
+    _EVAL_RUN_CACHE[key] = (head_model, run)
+    return run
 
 
 # --- cached-features fast path ------------------------------------------------

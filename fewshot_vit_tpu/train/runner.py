@@ -106,13 +106,23 @@ def fs_head_variables(encoder_variables: Dict, temp: float = 10.0) -> Dict:
     return v
 
 
+# one MetaBaseline view per encoder: a fresh head per call would defeat the
+# evaluator's jitted-callable cache and recompile every fs-eval epoch
+_FS_HEAD_CACHE: Dict[int, Any] = {}
+
+
 def fs_eval(
     encoder, encoder_variables, dataset: ArrayDataset,
     n_episodes: int = 200, way: int = 5, shots=(1, 5), query: int = 15,
     ep_per_batch: int = 8, seed: int = 0,
 ) -> Dict[str, float]:
     """Few-shot eval hook during training (reference fs-eval every N epochs)."""
-    head = MetaBaseline(encoder=encoder, temp_learnable=False)
+    hit = _FS_HEAD_CACHE.get(id(encoder))
+    if hit is not None and hit[0] is encoder:
+        head = hit[1]
+    else:
+        head = MetaBaseline(encoder=encoder, temp_learnable=False)
+        _FS_HEAD_CACHE[id(encoder)] = (encoder, head)
     variables = fs_head_variables(encoder_variables)
     out = {}
     for shot in shots:
