@@ -111,7 +111,20 @@ def main(cfg, args) -> TrainState:
     root = rng_mod.root_key(args.seed)
     eval_fs_epoch = int(cfg.get("eval_fs_epoch", 5) or 0)
 
-    for epoch in range(1, epochs + 1):
+    # full-state resume (see train/pretrain.py) — the 800-epoch SUN phase is
+    # the longest-running job in the pipeline
+    import os
+
+    from ..checkpoint import save_variables
+
+    resume_dir = os.path.join(logger.save_dir, "resume")
+    start_epoch = 1
+    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+        state, meta = load_variables(resume_dir, target=state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        logger.log(f"resumed full train state from epoch {start_epoch - 1}")
+
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch))
         state, ms = epoch_fn(
@@ -135,6 +148,7 @@ def main(cfg, args) -> TrainState:
         policy.on_epoch(epoch, state.variables,
                         {"model": "token-label", "n_classes": n_classes,
                          "encoder": cfg.get("model_args.encoder")}, va=va)
+        save_variables(resume_dir, state, {"epoch": epoch})
     return state
 
 
