@@ -144,14 +144,26 @@ def encode_dataset(
     n = len(dataset)
     if images_dev is None:
         images_dev = jax.device_put(dataset.images)
+    run = _encode_run_fn(encoder, n, batch_size,
+                         tuple(np.asarray(dataset.mean).tolist()),
+                         tuple(np.asarray(dataset.std).tolist()))
+    return run(variables, images_dev)
+
+
+def _encode_run_fn(encoder, n, batch_size, mean, std):
+    key = (id(encoder), n, batch_size, mean, std)
+    hit = _EVAL_RUN_CACHE.get(key)
+    if hit is not None and hit[0] is encoder:
+        return hit[1]
     n_batches = math.ceil(n / batch_size)
-    mean, std = dataset.mean, dataset.std
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
 
     @jax.jit
     def run(variables, images):
         def body(carry, start):
             idx = start + jnp.arange(batch_size)
-            x = normalize(images[jnp.minimum(idx, n - 1)], mean, std)
+            x = normalize(images[jnp.minimum(idx, n - 1)], mean_a, std_a)
             _, pooled = encoder.apply(variables, x, train=False)
             return carry, pooled
 
@@ -159,7 +171,31 @@ def encode_dataset(
         _, feats = jax.lax.scan(body, None, starts)
         return feats.reshape(n_batches * batch_size, -1)[:n]
 
-    return run(variables, images_dev)
+    _EVAL_RUN_CACHE[key] = (encoder, run)
+    return run
+
+
+def _cached_run_fn(way, shot, query, ep_per_batch, temp):
+    key = ("cached", way, shot, query, ep_per_batch, temp)
+    hit = _EVAL_RUN_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    labels = make_nk_label(way, query, ep_per_batch)
+
+    @jax.jit
+    def run(feats, idx_all):
+        def body(carry, idx):
+            f = feats[idx]  # (E, way, shot+query, C)
+            proto = f[:, :, :shot].mean(axis=2)
+            f_query = f[:, :, shot:].reshape(ep_per_batch, way * query, -1)
+            logits = compute_logits(f_query, proto, metric="cos", temp=temp)
+            return carry, per_episode_acc(logits, labels)
+
+        _, accs = jax.lax.scan(body, None, idx_all)
+        return accs.reshape(-1)
+
+    _EVAL_RUN_CACHE[key] = (None, run)
+    return run
 
 
 def evaluate_cached(
@@ -183,20 +219,7 @@ def evaluate_cached(
         dataset, n_episodes, way, shot + query, ep_per_batch, seed
     )
     idx_all = idx_all.reshape(-1, ep_per_batch, way, shot + query)
-    labels = make_nk_label(way, query, ep_per_batch)
-
-    @jax.jit
-    def run(feats, idx_all):
-        def body(carry, idx):
-            f = feats[idx]  # (E, way, shot+query, C)
-            proto = f[:, :, :shot].mean(axis=2)
-            f_query = f[:, :, shot:].reshape(ep_per_batch, way * query, -1)
-            logits = compute_logits(f_query, proto, metric="cos", temp=temp)
-            return carry, per_episode_acc(logits, labels)
-
-        _, accs = jax.lax.scan(body, None, idx_all)
-        return accs.reshape(-1)
-
+    run = _cached_run_fn(way, shot, query, ep_per_batch, float(temp))
     accs = np.asarray(run(feats, jnp.asarray(idx_all)))[:n_episodes]
     m, h = mean_confidence_interval(accs)
     return m, h, accs

@@ -6,6 +6,7 @@ from .metric import (
 )
 from .episodes import split_shot_query, make_nk_label
 from .token_label import generate_soft_label, soft_target_cross_entropy
+from .emd import emd_distance, normalize_weights, sinkhorn
 
 __all__ = [
     "compute_logits",
@@ -16,4 +17,7 @@ __all__ = [
     "make_nk_label",
     "generate_soft_label",
     "soft_target_cross_entropy",
+    "emd_distance",
+    "normalize_weights",
+    "sinkhorn",
 ]
