@@ -79,6 +79,30 @@ class CheckpointPolicy:
             save_variables(os.path.join(self.save_dir, "max-va"), variables, meta)
 
 
+def load_model(path: str, **overrides: Any):
+    """Rebuild a registered model from a checkpoint's embedded metadata and
+    return ``(model, variables)`` — the reference's ``models.load(sv)``
+    (``models/models.py:21-26``), which reconstructs from the saved name+args.
+
+    The checkpoint meta must carry ``model`` (registry name) and the ctor
+    kwargs the phase loops record (``encoder``, ``n_classes``, ...).
+    """
+    from ..core.registry import models as model_registry
+
+    variables, meta = load_variables(path)
+    name = meta.get("model")
+    if name is None:
+        raise ValueError(f"checkpoint at {path!r} has no 'model' in its meta")
+    kwargs: Dict[str, Any] = {}
+    if meta.get("encoder"):
+        kwargs["encoder"] = meta["encoder"]
+    if meta.get("n_classes") is not None:
+        kwargs["classifier_args"] = {"n_classes": int(meta["n_classes"])}
+    kwargs.update(overrides)
+    model = model_registry.make(name, **kwargs)
+    return model, variables
+
+
 # --- reference .pth ingestion -------------------------------------------------
 
 

@@ -86,7 +86,19 @@ def main(cfg, args) -> TrainState:
     policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
     root = rng_mod.root_key(args.seed)
 
-    for epoch in range(1, epochs + 1):
+    # full-state resume (see train/pretrain.py)
+    import os
+
+    from ..checkpoint import load_variables, save_variables
+
+    resume_dir = os.path.join(logger.save_dir, "resume")
+    start_epoch = 1
+    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+        state, meta = load_variables(resume_dir, target=state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        logger.log(f"resumed full train state from epoch {start_epoch - 1}")
+
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         # per-epoch seeded episode draws (reference train_meta.py:147)
         ep_rng = rng_mod.np_rng(args.seed, epoch)
@@ -108,6 +120,7 @@ def main(cfg, args) -> TrainState:
         policy.on_epoch(epoch, state.variables,
                         {"model": "meta-baseline",
                          "encoder": cfg.get("model_args.encoder")}, va=acc)
+        save_variables(resume_dir, state, {"epoch": epoch})
     return state
 
 

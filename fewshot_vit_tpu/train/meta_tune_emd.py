@@ -232,7 +232,19 @@ def main(cfg, args) -> TrainState:
     policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
     root = rng_mod.root_key(args.seed)
 
-    for epoch in range(1, epochs + 1):
+    # full-state resume (see train/pretrain.py)
+    import os
+
+    from ..checkpoint import load_variables, save_variables
+
+    resume_dir = os.path.join(logger.save_dir, "resume")
+    start_epoch = 1
+    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+        state, meta = load_variables(resume_dir, target=state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        logger.log(f"resumed full train state from epoch {start_epoch - 1}")
+
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         ep_rng = rng_mod.np_rng(args.seed, epoch)
         idx = np.stack([
@@ -253,6 +265,7 @@ def main(cfg, args) -> TrainState:
         policy.on_epoch(epoch, state.variables,
                         {"model": "deepemd", "deepemd": mode,
                          "encoder": cfg.get("model_args.encoder")}, va=va)
+        save_variables(resume_dir, state, {"epoch": epoch})
     return state
 
 

@@ -112,3 +112,27 @@ class TestTorchCheckpointIngestion:
         torch.save(blob, pth)
         flat, _ = load_torch_state_dict(pth)
         assert list(flat) == ["encoder.stem.conv1.weight"]
+
+
+class TestLoadModel:
+    def test_rebuild_from_meta(self, tmp_path):
+        from fewshot_vit_tpu.checkpoint import load_model
+
+        model = models.make(
+            "classifier", encoder="resnet12", classifier_args={"n_classes": 7}
+        )
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        p = str(tmp_path / "ck")
+        save_variables(p, variables, {"model": "classifier", "encoder": "resnet12",
+                                      "n_classes": 7})
+        model2, restored = load_model(p)
+        logits = model2.apply(restored, jnp.zeros((2, 32, 32, 3)))
+        assert logits.shape == (2, 7)
+
+    def test_missing_meta(self, tmp_path):
+        from fewshot_vit_tpu.checkpoint import load_model
+
+        p = str(tmp_path / "ck")
+        save_variables(p, {"params": {"w": jnp.ones((2,))}}, {})
+        with pytest.raises(ValueError, match="no 'model'"):
+            load_model(p)
