@@ -32,13 +32,14 @@ from ..train.runner import load_encoder_from_checkpoint
 from .episodic import evaluate, evaluate_cached, sub_variables
 
 
-def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED):
+def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED, dtype=jnp.float32):
     """Build a meta-baseline head and load weights per config: 'load' (full
     head checkpoint, orbax dir or reference .pth) or 'load_encoder'."""
     head = models.make(
         "meta-baseline",
         encoder=cfg.get("encoder", cfg.get("model_args.encoder", "visformer_micro_80")),
         encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+        dtype=dtype,
     )
     xs0 = jnp.zeros((1, 2, 1, 80, 80, 3), jnp.float32)
     xq0 = jnp.zeros((1, 2, 80, 80, 3), jnp.float32)
@@ -106,13 +107,25 @@ def main():
     p.add_argument("--cached", action="store_true",
                    help="cached-features fast path (identical accuracy)")
     p.add_argument("--episodes", type=int, default=2000)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 encoder compute (+~17%% throughput; mean "
+                        "accuracy measured identical, per-episode accs may flip)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard episode batches over an N-chip data mesh")
     args = p.parse_args()
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
 
     ds = dataset_registry.make(cfg.get("dataset", "mini-imagenet"),
                                **dict(cfg.get("dataset_args", {}) or {}))
-    head, variables = load_model_for_eval(cfg)
+    head, variables = load_model_for_eval(
+        cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    )
+    mesh = None
+    if args.mesh_data:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh({"data": args.mesh_data})
 
     all_accs = []
     for epoch in range(1, args.test_epochs + 1):
@@ -127,7 +140,7 @@ def main():
         else:
             acc, ci, accs = evaluate(
                 head, variables, ds, n_episodes=args.episodes, shot=args.shot,
-                ep_per_batch=8, seed=seed,
+                ep_per_batch=8, seed=seed, mesh=mesh,
             )
         all_accs.extend(accs.tolist())
         m, h = mean_confidence_interval(all_accs)
