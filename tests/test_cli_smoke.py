@@ -1,0 +1,60 @@
+"""Entry-point smoke: every CLI must at least import and print --help
+(guards the module wiring without paying any compile cost)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+CLIS = [
+    "fewshot_vit_tpu.train.pretrain",
+    "fewshot_vit_tpu.train.sun",
+    "fewshot_vit_tpu.train.meta_tune",
+    "fewshot_vit_tpu.train.meta_tune_emd",
+    "fewshot_vit_tpu.eval.run",
+    "fewshot_vit_tpu.eval.run_emd",
+    "fewshot_vit_tpu.eval.visualize",
+]
+
+
+@pytest.mark.parametrize("module", CLIS)
+def test_cli_help(module):
+    out = subprocess.run(
+        [sys.executable, "-m", module, "--help"],
+        capture_output=True, text=True, timeout=240,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": ":".join(sys.path), "HOME": "/root"},
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "--config" in out.stdout
+
+
+class TestGridGeometryGolden:
+    """Grid crop boxes must match the reference get_grid_location algorithm
+    (meta_tuning_sun_d/.../grid/mini_imagenet.py:78-98)."""
+
+    @staticmethod
+    def _reference_locations(size, ratio, num_grid):
+        raw = int(size / num_grid)
+        enlarged = int(size / num_grid * ratio)
+        center = raw // 2
+        out = []
+        for _ in range(num_grid):
+            out.append((max(0, center - enlarged // 2),
+                        min(size, center + enlarged // 2)))
+            center += raw
+        return out
+
+    def test_boxes_match_reference(self):
+        from fewshot_vit_tpu.data.patches import _grid_boxes
+
+        for size, ratio, g in [(80, 2.0, 2), (80, 2.0, 3), (84, 1.5, 3)]:
+            lo, hi = _grid_boxes(size, g, ratio)
+            want = self._reference_locations(size, ratio, g)
+            for i, (wl, wh) in enumerate(want):
+                # ours keeps exact float box edges (needed for the traced
+                # train-time ratio); the reference floors intermediate values,
+                # drifting up to ~1.7px on non-divisible grids (80/3)
+                assert abs(float(lo[i]) - wl) <= 2.0, (size, ratio, g, i)
+                assert abs(float(hi[i]) - wh) <= 2.0, (size, ratio, g, i)
