@@ -61,9 +61,16 @@ def _apply_eval_geometry(images: np.ndarray, image_size: int, protocol: str) -> 
         return images
     if images.shape[1] == image_size and images.shape[2] == image_size:
         return images
+    from concurrent.futures import ThreadPoolExecutor
+
     if protocol == "resize_crop":
-        return np.stack([resize_center_crop(im, image_size + 8, image_size) for im in images])
-    return np.stack([resize_short(im, image_size) for im in images])
+        fn = lambda im: resize_center_crop(im, image_size + 8, image_size)
+    else:
+        fn = lambda im: resize_short(im, image_size)
+    # PIL resize releases the GIL; threads give ~NxCPU speedup on the one-time
+    # load of 10k+ images (replaces the reference's 8-worker DataLoader procs)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return np.stack(list(pool.map(fn, images)))
 
 
 @datasets.register("mini-imagenet")
