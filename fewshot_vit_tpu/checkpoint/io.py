@@ -28,15 +28,28 @@ def _ocp():
 
 
 def save_variables(path: str, variables: Any, meta: Optional[Dict] = None) -> None:
-    """Save a variable/state pytree + JSON meta at ``path`` (a directory)."""
+    """Save a variable/state pytree + JSON meta at ``path`` (a directory).
+
+    Atomic: the checkpoint is fully written to a ``.tmp`` sibling first and
+    only swapped into place once arrays *and* meta are on disk, so a crash or
+    preemption mid-save never destroys the previous checkpoint (the per-epoch
+    ``resume`` directory is the crash-recovery path — it must survive).
+    """
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    tmp, old = path + ".tmp", path + ".old"
+    for p in (tmp, old):
+        if os.path.exists(p):
+            shutil.rmtree(p)
     ckptr = _ocp().StandardCheckpointer()
-    ckptr.save(os.path.join(path, "arrays"), variables)
+    ckptr.save(os.path.join(tmp, "arrays"), variables)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta or {}, f, indent=2, default=str)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_variables(path: str, target: Optional[Any] = None) -> Tuple[Any, Dict]:
@@ -44,9 +57,13 @@ def load_variables(path: str, target: Optional[Any] = None) -> Tuple[Any, Dict]:
     restores with correct structure/dtypes; without it, restores raw."""
     path = os.path.abspath(path)
     if not os.path.isdir(os.path.join(path, "arrays")):
-        raise FileNotFoundError(
-            f"no checkpoint at {path!r} (expected an orbax 'arrays' dir)"
-        )
+        # a crash between the two renames in save_variables leaves only .old
+        if os.path.isdir(os.path.join(path + ".old", "arrays")):
+            path = path + ".old"
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint at {path!r} (expected an orbax 'arrays' dir)"
+            )
     ckptr = _ocp().StandardCheckpointer()
     if target is not None:
         variables = ckptr.restore(os.path.join(path, "arrays"), target=target)
@@ -67,7 +84,18 @@ class CheckpointPolicy:
     def __init__(self, save_dir: str, save_epoch: Optional[int] = None):
         self.save_dir = save_dir
         self.save_epoch = save_epoch
+        # seed from an existing max-va so a resumed run can't overwrite the
+        # best checkpoint with a worse post-resume epoch
         self.best_va = -float("inf")
+        meta_path = os.path.join(save_dir, "max-va", "meta.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    prev = json.load(f).get("val_acc")
+                if prev is not None:
+                    self.best_va = float(prev)
+            except (ValueError, OSError):
+                pass
 
     def on_epoch(self, epoch: int, variables: Any, meta: Dict, va: Optional[float] = None) -> None:
         meta = dict(meta, epoch=epoch, val_acc=va)

@@ -113,6 +113,9 @@ def main():
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard episode batches over an N-chip data mesh")
     args = p.parse_args()
+    if args.mesh_data and (args.cached or args.sauc):
+        p.error("--mesh-data is only supported in the default eval mode "
+                "(not with --cached/--sauc)")
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
 

@@ -49,6 +49,41 @@ class TestOrbaxRoundTrip:
         _, meta = load_variables(str(tmp_path / "max-va"))
         assert meta["epoch"] == 1  # best val was epoch 1
 
+    def test_policy_best_va_survives_resume(self, tmp_path):
+        """A fresh (post-resume) policy must seed best_va from the existing
+        max-va meta so a worse epoch cannot overwrite the best checkpoint."""
+        v = {"params": {"w": jnp.ones((2, 2))}}
+        CheckpointPolicy(str(tmp_path)).on_epoch(1, v, {}, va=0.9)
+        pol2 = CheckpointPolicy(str(tmp_path))  # simulates resume
+        assert pol2.best_va == pytest.approx(0.9)
+        pol2.on_epoch(2, v, {}, va=0.5)
+        _, meta = load_variables(str(tmp_path / "max-va"))
+        assert meta["epoch"] == 1
+        pol2.on_epoch(3, v, {}, va=0.95)
+        _, meta = load_variables(str(tmp_path / "max-va"))
+        assert meta["epoch"] == 3
+
+    def test_save_is_atomic_overwrite(self, tmp_path):
+        """Overwriting a checkpoint must not leave tmp/old residue and must
+        keep the new contents."""
+        p = str(tmp_path / "ckpt")
+        save_variables(p, {"params": {"w": jnp.zeros((2,))}}, {"epoch": 1})
+        save_variables(p, {"params": {"w": jnp.ones((2,))}}, {"epoch": 2})
+        restored, meta = load_variables(p)
+        assert meta["epoch"] == 2
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.ones((2,)))
+        assert not os.path.exists(p + ".tmp")
+        assert not os.path.exists(p + ".old")
+
+    def test_load_falls_back_to_old_after_crash_window(self, tmp_path):
+        """If a crash hit between the two swap renames, only '.old' exists —
+        load_variables must recover from it."""
+        p = str(tmp_path / "ckpt")
+        save_variables(p, {"params": {"w": jnp.ones((2,))}}, {"epoch": 7})
+        os.rename(p, p + ".old")
+        restored, meta = load_variables(p)
+        assert meta["epoch"] == 7
+
 
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchCheckpointIngestion:
