@@ -23,13 +23,25 @@ from ..ops.metric import compute_acc
 from . import steps as steps_mod
 
 
-def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None) -> Callable:
+def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
+                        sam_rho=None, sam_adaptive=False) -> Callable:
     """jit: (state, images (N,H,W,3) u8, labels (N,), idx (S,B), rng) ->
-    (state, metrics dict of (S,) arrays)."""
+    (state, metrics dict of (S,) arrays).
+
+    ``sam_rho`` switches the per-step update to Sharpness-Aware Minimization
+    (two fwd-bwd passes; reference ``sun_meta_training/sam.py:4-62``)."""
     kw = {}
     if mean is not None:
         kw = {"mean": mean, "std": std}
-    step = steps_mod.make_pretrain_step(model, tx, preprocess_fn=preprocess_fn, jit=False, **kw)
+    if sam_rho:
+        from .sam import make_sam_pretrain_step
+
+        step = make_sam_pretrain_step(
+            model, tx, rho=float(sam_rho), adaptive=bool(sam_adaptive),
+            preprocess_fn=preprocess_fn, jit=False, **kw,
+        )
+    else:
+        step = steps_mod.make_pretrain_step(model, tx, preprocess_fn=preprocess_fn, jit=False, **kw)
 
     def epoch(state, images, labels, idx, rng):
         def body(state, scan_in):

@@ -94,8 +94,15 @@ def main(cfg, args) -> TrainState:
         preprocess_fn = make_cropaug_fn(
             train_ds.mean, train_ds.std, out_size=int(cfg.get("image_size", 80))
         )
+    sam_kw = {}
+    if cfg.get("optimizer") == "sam":
+        oargs = dict(cfg.get("optimizer_args", {}) or {})
+        sam_kw = {"sam_rho": float(oargs.get("sam_rho", 0.05)),
+                  "sam_adaptive": bool(oargs.get("adaptive", False))}
+        logger.log(f"SAM pretraining: {sam_kw}")
     epoch_fn = make_pretrain_epoch(
-        model, tx, preprocess_fn=preprocess_fn, mean=train_ds.mean, std=train_ds.std
+        model, tx, preprocess_fn=preprocess_fn, mean=train_ds.mean, std=train_ds.std,
+        **sam_kw,
     )
     eval_fn = make_eval_ce_epoch(model, train_ds.mean, train_ds.std) if val_ds else None
     val_images = jax.device_put(val_ds.images) if val_ds else None
@@ -161,7 +168,8 @@ def main(cfg, args) -> TrainState:
         # stochastic augmentation pipeline
         from ..checkpoint import save_variables
 
-        plain_epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std)
+        plain_epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std,
+                                             **sam_kw)
         idx = jnp.asarray(batch_indices(len(train_ds), batch_size,
                                         rng_mod.np_rng(args.seed, epochs + 1)))
         if batch_shard is not None:

@@ -70,6 +70,11 @@ def build_optimizer(cfg: Config, params: Any, steps_per_epoch: int, batch_size: 
     """Optimizer + schedule from a phase config (reference styles unified)."""
     name = cfg.get("optimizer", "sgd")
     oargs = dict(cfg.get("optimizer_args", {}) or {})
+    if name == "sam":
+        # SAM is a step-level two-pass wrapper (train/sam.py); the optax chain
+        # here is its base optimizer. Phase loops read sam_rho/sam_adaptive
+        # from optimizer_args to select the SAM step.
+        name = oargs.get("base", "sgd")
     lr = float(oargs.get("lr", 1e-3))
     if oargs.get("scale_lr_by_batch") and batch_size:
         lr = lr * batch_size / 512.0  # reference train_classifier.py:130

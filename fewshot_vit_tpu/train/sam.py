@@ -54,6 +54,7 @@ def sam_gradient(
 def make_sam_pretrain_step(
     model, tx: optax.GradientTransformation, rho: float = 0.05,
     adaptive: bool = False, preprocess_fn=None, mean=None, std=None,
+    jit: bool = True,
 ) -> Callable:
     """SAM variant of ``steps.make_pretrain_step`` (two forward-backward
     passes per step)."""
@@ -89,4 +90,4 @@ def make_sam_pretrain_step(
         )
         return new_state, {"loss": loss, "acc": compute_acc(logits, labels)}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
