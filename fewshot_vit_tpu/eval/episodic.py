@@ -71,6 +71,7 @@ def evaluate(
     seed: int = rng_mod.DEFAULT_SEED,
     images_dev: Optional[jax.Array] = None,
     mesh=None,
+    indices: Optional[np.ndarray] = None,
 ) -> Tuple[float, float, np.ndarray]:
     """Full-protocol eval (re-encode every episode). Returns (acc, ci95, accs).
 
@@ -78,10 +79,16 @@ def evaluate(
     one-time upload across calls. Pass ``mesh`` (a `jax.sharding.Mesh` with a
     ``data`` axis) to shard the per-batch image axis across chips — episode
     parallelism over ICI, variables and the dataset replicated.
+    ``indices`` overrides episode sampling with an explicit
+    ``(n_batches, ep_per_batch*way*(shot+query))`` index matrix (e.g. episodes
+    drawn by the reference sampler for protocol-parity checks).
     """
-    idx_all = sample_episode_indices(
-        dataset, n_episodes, way, shot + query, ep_per_batch, seed
-    )
+    if indices is not None:
+        idx_all = np.asarray(indices, np.int32)
+    else:
+        idx_all = sample_episode_indices(
+            dataset, n_episodes, way, shot + query, ep_per_batch, seed
+        )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

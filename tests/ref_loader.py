@@ -63,6 +63,42 @@ def load_sun_d_module(modname: str):
     return sys.modules[full]
 
 
+_TEST_PHASE = None
+
+
+def load_test_phase():
+    """Import the reference eval stack (``test_phase``: models registry, utils,
+    CategoriesSampler) as real torch packages for protocol-parity tests.
+
+    The package uses absolute top-level imports (``import models`` /
+    ``import utils``), so it must go on ``sys.path``; the timm-dependent
+    backbones load through ``tests.timm_shim``.
+    """
+    global _TEST_PHASE
+    if _TEST_PHASE is not None:
+        return _TEST_PHASE
+    from . import timm_shim
+
+    timm_shim.install()
+    tp = os.path.join(REF_ROOT, "test_phase")
+    sys.path.insert(0, tp)
+    try:
+        import models  # noqa: F401 — reference registry package
+        import utils  # noqa: F401
+        from utils import few_shot
+    finally:
+        sys.path.remove(tp)
+    spec = importlib.util.spec_from_file_location(
+        "ref_tp_samplers", os.path.join(tp, "datasets", "samplers.py")
+    )
+    samplers = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(samplers)
+    _TEST_PHASE = types.SimpleNamespace(
+        models=models, utils=utils, few_shot=few_shot, samplers=samplers
+    )
+    return _TEST_PHASE
+
+
 def load_ref_model_module(phase: str, modname: str):
     """e.g. load_ref_model_module('sun_meta_training', 'visformer')."""
     pkg_dir = os.path.join(REF_ROOT, phase, "models")
