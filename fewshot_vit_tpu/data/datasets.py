@@ -147,28 +147,69 @@ def cifar_fs(
     )
 
 
+def _load_images_threaded(paths, load_fn, image_size: int) -> np.ndarray:
+    """Decode+resize a path list into one (N, S, S, 3) uint8 array with a
+    thread pool (PIL releases the GIL) — replaces the reference's 8-worker
+    DataLoader processes for the one-time materialization."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = np.empty((len(paths), image_size, image_size, 3), np.uint8)
+
+    def work(i):
+        out[i] = load_fn(paths[i])
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(work, range(len(paths))))
+    return out
+
+
 @datasets.register("image-folder")
 def image_folder(
     root_path: str = DEFAULT_ROOT,
     split: str = "train",
     image_size: int = 80,
     split_file: str = "split.json",
+    cache_memmap: bool = False,
     **_: object,
 ) -> ArrayDataset:
     """Generic class-folder dataset with a split.json listing class names
-    (reference ``sun_meta_training/datasets/image_folder.py:12-67``)."""
+    (reference ``sun_meta_training/datasets/image_folder.py:12-67``).
+
+    ``cache_memmap=True`` persists the decoded array next to the images and
+    reopens it as a read-only ``np.memmap`` — for ImageNet-800 scale the
+    images then never fully materialize in host RAM, and the training loops'
+    HBM staging (``data/staging.py``) streams them chunk-wise to the device.
+    """
     from PIL import Image
 
     with open(os.path.join(root_path, split_file)) as f:
         split_classes = json.load(f)[split]
-    imgs, labels = [], []
+
+    paths, labels = [], []
     for ci, cname in enumerate(split_classes):
         cdir = os.path.join(root_path, "images", cname)
         for fname in sorted(os.listdir(cdir)):
-            im = Image.open(os.path.join(cdir, fname)).convert("RGB")
-            imgs.append(resize_center_crop(np.asarray(im, np.uint8), image_size + 8, image_size))
+            paths.append(os.path.join(cdir, fname))
             labels.append(ci)
-    return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(split_classes))
+    labels = np.asarray(labels, np.int32)
+
+    cache_path = os.path.join(root_path, f"_cache_{split}_{image_size}.npy")
+    if cache_memmap and os.path.exists(cache_path):
+        images = np.load(cache_path, mmap_mode="r")
+        if len(images) != len(paths):
+            raise ValueError(
+                f"stale cache {cache_path}: {len(images)} imgs vs {len(paths)} files"
+            )
+    else:
+        load = lambda p: resize_center_crop(
+            np.asarray(Image.open(p).convert("RGB"), np.uint8),
+            image_size + 8, image_size,
+        )
+        images = _load_images_threaded(paths, load, image_size)
+        if cache_memmap:
+            np.save(cache_path, images)
+            images = np.load(cache_path, mmap_mode="r")
+    return ArrayDataset(images, labels, len(split_classes))
 
 
 @datasets.register("fc100")
@@ -186,14 +227,17 @@ def fc100(
     split_dir = os.path.join(root_path, split)
     classes = [d for d in sorted(os.listdir(split_dir))
                if os.path.isdir(os.path.join(split_dir, d))]
-    imgs, labels = [], []
+    paths, labels = [], []
     for ci, cname in enumerate(classes):
         cdir = os.path.join(split_dir, cname)
         for fname in sorted(os.listdir(cdir)):
-            im = np.asarray(Image.open(os.path.join(cdir, fname)).convert("RGB"), np.uint8)
-            imgs.append(_apply_eval_geometry(im[None], image_size, protocol)[0])
+            paths.append(os.path.join(cdir, fname))
             labels.append(ci)
-    return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(classes))
+    load = lambda p: _apply_eval_geometry(
+        np.asarray(Image.open(p).convert("RGB"), np.uint8)[None], image_size, protocol
+    )[0]
+    images = _load_images_threaded(paths, load, image_size)
+    return ArrayDataset(images, np.asarray(labels, np.int32), len(classes))
 
 
 @datasets.register("cub")
@@ -213,13 +257,16 @@ def cub(
         lines = [x.strip() for x in f.readlines()][1:]
     if split == "train" and len(lines) > 5864:
         lines.pop(5864)  # reference: broken image file
-    imgs, labels, wnids = [], [], {}
+    paths, labels, wnids = [], [], {}
     for line in lines:
         name, wnid = line.split(",")[:2]
         labels.append(wnids.setdefault(wnid, len(wnids)))
-        im = np.asarray(Image.open(os.path.join(root_path, name)).convert("RGB"), np.uint8)
-        imgs.append(_apply_eval_geometry(im[None], image_size, protocol)[0])
-    return ArrayDataset(np.stack(imgs), np.asarray(labels, np.int32), len(wnids))
+        paths.append(os.path.join(root_path, name))
+    load = lambda p: _apply_eval_geometry(
+        np.asarray(Image.open(p).convert("RGB"), np.uint8)[None], image_size, protocol
+    )[0]
+    images = _load_images_threaded(paths, load, image_size)
+    return ArrayDataset(images, np.asarray(labels, np.int32), len(wnids))
 
 
 @datasets.register("synthetic")

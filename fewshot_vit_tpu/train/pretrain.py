@@ -64,11 +64,18 @@ def main(cfg, args) -> TrainState:
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch, batch_size)
     state = TrainState.create(variables, tx)
 
-    images_dev = jax.device_put(train_ds.images)
-    labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
+    from ..data.staging import DEFAULT_HBM_BUDGET_GB, EpochStager, needs_staging
+
+    hbm_budget = float(cfg.get("hbm_budget_gb", DEFAULT_HBM_BUDGET_GB))
+    stage = needs_staging(train_ds.images, hbm_budget)
+    images_dev = labels_dev = None
+    if not stage:
+        images_dev = jax.device_put(train_ds.images)
+        labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
 
     mesh_cfg = cfg.get("mesh")
     batch_shard = None
+    image_shard = None
     if mesh_cfg:
         # multi-chip: dp over the batch axis, optional tp on wide kernels
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -83,8 +90,10 @@ def main(cfg, args) -> TrainState:
             {"params": params, "batch_stats": jax.device_put(state.batch_stats, replicated(mesh))},
             tx,
         )
-        images_dev = jax.device_put(train_ds.images, replicated(mesh))
-        labels_dev = jax.device_put(train_ds.labels.astype(np.int32), replicated(mesh))
+        image_shard = replicated(mesh)
+        if not stage:
+            images_dev = jax.device_put(train_ds.images, image_shard)
+            labels_dev = jax.device_put(train_ds.labels.astype(np.int32), image_shard)
         batch_shard = NamedSharding(mesh, P(None, "data"))  # idx (steps, batch)
     preprocess_fn = None
     if cfg.get("augment") == "cropaug":
@@ -104,6 +113,37 @@ def main(cfg, args) -> TrainState:
         model, tx, preprocess_fn=preprocess_fn, mean=train_ds.mean, std=train_ds.std,
         **sam_kw,
     )
+    stager = None
+    if stage:
+        stager = EpochStager(
+            train_ds.images, train_ds.labels, batch_size,
+            budget_gb=hbm_budget, sharding=batch_shard, image_sharding=image_shard,
+        )
+        logger.log(
+            f"HBM staging: {train_ds.images.nbytes / 2**30:.1f} GiB dataset > "
+            f"{hbm_budget:g} GiB budget -> {stager.n_chunks} chunks/epoch "
+            f"x {stager.chunk_imgs} imgs"
+        )
+
+    def run_epoch(fn, state, epoch_i, key):
+        """One epoch through ``fn``; streams HBM-sized chunks when staged."""
+        if stager is None:
+            idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch_i))
+            idx = jnp.asarray(idx)
+            if batch_shard is not None:
+                idx = jax.device_put(idx, batch_shard)
+            state, ms = fn(state, images_dev, labels_dev, idx, key)
+            return state, {k: np.asarray(v) for k, v in ms.items()}
+        chunks = []
+        for ci, (imgs_c, labels_c, idx_c) in enumerate(
+            stager.epoch(rng_mod.np_rng(args.seed, epoch_i))
+        ):
+            state, ms = fn(state, imgs_c, labels_c, idx_c, jax.random.fold_in(key, ci))
+            # fetch per chunk — forces completion so the staged buffer can be
+            # freed before the next chunk uploads (never 2 chunks in HBM)
+            chunks.append({k: np.asarray(v) for k, v in ms.items()})
+        return state, {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
     eval_fn = make_eval_ce_epoch(model, train_ds.mean, train_ds.std) if val_ds else None
     val_images = jax.device_put(val_ds.images) if val_ds else None
     val_labels = jax.device_put(val_ds.labels.astype(np.int32)) if val_ds else None
@@ -129,15 +169,8 @@ def main(cfg, args) -> TrainState:
 
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
-        idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch))
-        idx = jnp.asarray(idx)
-        if batch_shard is not None:
-            idx = jax.device_put(idx, batch_shard)
         with profile_epoch(args, epoch):
-            state, ms = epoch_fn(
-                state, images_dev, labels_dev, idx,
-                rng_mod.epoch_key(root, epoch),
-            )
+            state, ms = run_epoch(epoch_fn, state, epoch, rng_mod.epoch_key(root, epoch))
         m = metrics_mean(ms)
         line = f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f}"
 
@@ -170,12 +203,8 @@ def main(cfg, args) -> TrainState:
 
         plain_epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std,
                                              **sam_kw)
-        idx = jnp.asarray(batch_indices(len(train_ds), batch_size,
-                                        rng_mod.np_rng(args.seed, epochs + 1)))
-        if batch_shard is not None:
-            idx = jax.device_put(idx, batch_shard)
-        state, ms = plain_epoch_fn(state, images_dev, labels_dev, idx,
-                                   rng_mod.epoch_key(root, epochs + 1))
+        state, ms = run_epoch(plain_epoch_fn, state, epochs + 1,
+                              rng_mod.epoch_key(root, epochs + 1))
         m = metrics_mean(ms)
         logger.log(f"epoch-ex train loss={m['loss']:.4f} acc={m['acc']:.4f}")
         save_variables(f"{logger.save_dir}/epoch-ex", state.variables,
