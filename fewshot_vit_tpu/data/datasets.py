@@ -126,9 +126,14 @@ def tiered_imagenet(
 def cifar_fs(
     root_path: str = DEFAULT_ROOT,
     split: str = "train",
-    image_size: int = 32,
+    image_size: int = 80,
+    protocol: str = "resize",
     **_: object,
 ) -> ArrayDataset:
+    """CIFAR-FS folder tree; the reference upsamples the 32px sources to 80
+    (``sun_meta_training/datasets/cifar_fs.py:124,146-150`` — Resize(80) is
+    the default/eval transform). Use ``protocol='raw'`` for train splits whose
+    geometry the device-side augmentation provides."""
     from PIL import Image
 
     split_dir = os.path.join(root_path, f"meta-{split}")
@@ -140,7 +145,7 @@ def cifar_fs(
             im = np.asarray(Image.open(os.path.join(cdir, fname)).convert("RGB"), np.uint8)
             imgs.append(im)
             labels.append(ci)
-    images = np.stack(imgs)
+    images = _apply_eval_geometry(np.stack(imgs), image_size, protocol)
     return ArrayDataset(
         images, np.asarray(labels, np.int32), len(classes),
         mean=CIFAR_MEAN, std=CIFAR_STD,

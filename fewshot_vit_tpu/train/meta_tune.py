@@ -40,6 +40,9 @@ def main(cfg, args) -> TrainState:
 
     train_ds = build_dataset(cfg, "train_dataset")
     val_ds = build_dataset(cfg, "val_dataset") or train_ds
+    # optional second monitoring loader on the test split (reference 'tval',
+    # meta_tuning_sun_m/train_meta_warmup.py:86-101)
+    tval_ds = build_dataset(cfg, "tval_dataset")
 
     way = int(cfg.get("n_train_way", cfg.get("n_way", 5)))
     shot = int(cfg.get("n_train_shot", cfg.get("n_shot", 1)))
@@ -80,6 +83,10 @@ def main(cfg, args) -> TrainState:
         mean=train_ds.mean, std=train_ds.std,
     )
     images_dev = jax.device_put(train_ds.images)
+    # monitoring splits stay device-resident across epochs (the host->device
+    # link here is slow; re-uploading a val split per epoch costs ~10s/100MB)
+    val_images_dev = images_dev if val_ds is train_ds else jax.device_put(val_ds.images)
+    tval_images_dev = jax.device_put(tval_ds.images) if tval_ds is not None else None
     sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
 
     n_way, n_shot = int(cfg.get("n_way", 5)), int(cfg.get("n_shot", 1))
@@ -112,11 +119,21 @@ def main(cfg, args) -> TrainState:
             head, state.variables, val_ds,
             n_episodes=int(cfg.get("val_episodes", 200)), way=n_way, shot=n_shot,
             query=int(cfg.get("n_query", 15)),
-            ep_per_batch=ep_per_batch, seed=0,
+            ep_per_batch=ep_per_batch, seed=0, images_dev=val_images_dev,
         )
         line += f" | val {n_way}w{n_shot}s acc={acc:.4f} +- {ci:.4f}"
+        extra = {}
+        if tval_ds is not None:
+            tacc, tci, _ = evaluate(
+                head, state.variables, tval_ds,
+                n_episodes=int(cfg.get("tval_episodes", 500)), way=n_way, shot=n_shot,
+                query=int(cfg.get("n_query", 15)),
+                ep_per_batch=ep_per_batch, seed=0, images_dev=tval_images_dev,
+            )
+            line += f" | tval acc={tacc:.4f} +- {tci:.4f}"
+            extra["tval_acc"] = tacc
         logger.log(line + f" ({time.time() - t0:.1f}s)")
-        logger.metrics(epoch, **m, val_acc=acc)
+        logger.metrics(epoch, **m, val_acc=acc, **extra)
         policy.on_epoch(epoch, state.variables,
                         {"model": "meta-baseline",
                          "encoder": cfg.get("model_args.encoder")}, va=acc)

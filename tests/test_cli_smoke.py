@@ -30,6 +30,33 @@ def test_cli_help(module):
     assert "--config" in out.stdout
 
 
+def test_config_matrix_names_resolve():
+    """Every shipped YAML must parse and reference only registered model /
+    encoder / dataset names (guards the config matrix against registry drift)."""
+    import glob
+    import os
+
+    from fewshot_vit_tpu.core import load_config
+    import fewshot_vit_tpu.models  # noqa: F401
+    import fewshot_vit_tpu.heads  # noqa: F401
+    import fewshot_vit_tpu.data.datasets  # noqa: F401
+    from fewshot_vit_tpu.core.registry import models, datasets
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(files) >= 30
+    for f in files:
+        cfg = load_config(f)
+        enc = cfg.get("model_args.encoder") or cfg.get("encoder")
+        if enc:
+            assert enc in models, (f, enc)
+        if cfg.get("model"):
+            assert cfg.get("model") in models, (f, cfg.get("model"))
+        for k in ("train_dataset", "val_dataset", "fs_dataset", "tval_dataset", "dataset"):
+            if cfg.get(k):
+                assert cfg.get(k) in datasets, (f, cfg.get(k))
+
+
 class TestGridGeometryGolden:
     """Grid crop boxes must match the reference get_grid_location algorithm
     (meta_tuning_sun_d/.../grid/mini_imagenet.py:78-98)."""
