@@ -105,8 +105,11 @@ def convert_by_rule(
                 raise ValueError(f"shape mismatch at {col}/{'/'.join(path)}: torch {w.shape} vs flax {target_shape}")
             new_flat[(col,) + path] = w.astype(np.asarray(leaf).dtype)
 
+    # non-learned buffers, plus 'adapool.weight': a dead reference parameter —
+    # its gating use is commented out of the forward it belongs to
+    # (meta_tuning_sun_m/swin_3conv_adapool.py:347-357)
     _buffers = ("num_batches_tracked", "relative_position_index", "attn_mask",
-                "attention_bias_idxs")
+                "attention_bias_idxs", "adapool.weight")
     leftover = {k for k in sd if k not in used and not k.endswith(_buffers)}
     if leftover:
         raise ValueError(f"unconsumed torch tensors: {sorted(leftover)[:10]} (+{max(0, len(leftover)-10)} more)")
@@ -172,6 +175,31 @@ def resnet_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") ->
         else:
             torch_parts.append(p)
     if leaf in _BN_LEAF and (parts[-1].startswith("bn") or parts[-1].startswith("downsample_bn")):
+        leaf = _BN_LEAF[leaf]
+    elif leaf == "kernel":
+        leaf = "weight"
+    return prefix + ".".join(torch_parts + [leaf])
+
+
+def resnet12_drop_key(col: Tuple[str, ...], path: Tuple[str, ...], prefix: str = "") -> str:
+    """resnet12-drop: blocks live in single-element Sequentials —
+    flax ``layer1/conv1`` -> torch ``layer1.0.conv1``; the block's
+    num_batches_tracked counter maps through (``resnet_drop.py:153-176``)."""
+    parts = list(path)
+    leaf = parts.pop()
+    torch_parts = []
+    for p in parts:
+        if p.startswith("layer"):
+            torch_parts += [p, "0"]
+        elif p == "downsample_conv":
+            torch_parts += ["downsample", "0"]
+        elif p == "downsample_bn":
+            torch_parts += ["downsample", "1"]
+        else:
+            torch_parts.append(p)
+    if leaf in _BN_LEAF and parts and (
+        parts[-1].startswith("bn") or parts[-1].startswith("downsample_bn")
+    ):
         leaf = _BN_LEAF[leaf]
     elif leaf == "kernel":
         leaf = "weight"

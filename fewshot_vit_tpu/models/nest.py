@@ -85,6 +85,107 @@ class NestAttention(nn.Module):
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 
+def _gpsa_rel_indices(n: int) -> jnp.ndarray:
+    """(N, N, 3) per-block relative coordinates (dx, dy, d^2) — the ConViT
+    positional features (reference ``nest_gpsa.py:129-141``)."""
+    import numpy as np
+
+    g = int(math.sqrt(n))
+    ind = np.arange(g)[None, :] - np.arange(g)[:, None]  # (g, g)
+    indx = np.tile(ind, (g, g))
+    indy = np.repeat(np.repeat(ind, g, axis=0), g, axis=1)
+    rel = np.stack([indx, indy, indx ** 2 + indy ** 2], axis=-1)
+    return jnp.asarray(rel, jnp.float32)
+
+
+class NestGPSA(nn.Module):
+    """Gated positional self-attention over block-local tokens (reference
+    ``nest_gpsa.py:56-141`` — ConViT GPSA adapted to NesT's (B, T, N, C)).
+
+    attn = (1-sigmoid(g)) * softmax(q k^T) + sigmoid(g) * softmax(pos_proj(rel)),
+    renormalized; NB the reference's head merge ``(attn@v).transpose(1,2)
+    .reshape(B,T,N,C)`` flattens (H, N, d) head-major — replicated exactly for
+    weight compatibility."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        b, t, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        dense = lambda f, bias, name: nn.Dense(
+            f, use_bias=bias, kernel_init=trunc_normal_init(0.02),
+            dtype=self.dtype, name=name,
+        )
+        qk = dense(2 * c, self.qkv_bias, "qk")(x).reshape(b, t, n, 2, h, hd)
+        q, k = jnp.moveaxis(qk, 3, 0)  # (B, T, N, h, hd)
+        v = dense(c, self.qkv_bias, "v")(x).reshape(b, t, n, h, hd)
+
+        patch = jnp.einsum("btqhd,btkhd->bhtqk", q, k) * (hd ** -0.5)
+        patch = jax.nn.softmax(patch, axis=-1)
+        rel = _gpsa_rel_indices(n)  # (N, N, 3) static
+        pos = nn.Dense(h, kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="pos_proj")(rel)  # (N, N, h)
+        pos = jax.nn.softmax(pos.transpose(2, 0, 1), axis=-1)  # (h, N, N)
+        gate = jax.nn.sigmoid(
+            self.param("gating_param", nn.initializers.ones, (h,))
+        ).reshape(1, h, 1, 1, 1)
+        attn = (1.0 - gate) * patch + gate * pos[None, :, None].astype(patch.dtype)
+        attn = attn / attn.sum(axis=-1, keepdims=True)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("bhtqk,btkhd->bhtqd", attn, v)
+        # torch: (B,H,T,N,d).transpose(1,2).reshape(B,T,N,C) — head-major flat
+        out = out.transpose(0, 2, 1, 3, 4).reshape(b, t, n, c)
+        out = dense(c, True, "proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class NestRelAttention(nn.Module):
+    """Block-local MHSA + Swin-style learned relative position bias over the
+    block window (reference ``nest_rel.py:57-114``; bias table/index identical
+    to Swin's, window = block grid). Head merge stays NesT's head-dim-major."""
+
+    dim: int
+    num_heads: int
+    window: int  # block_size
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from .swin import relative_position_index
+
+        b, t, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
+                       kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, t, n, 3, h, hd)
+        q, k, v = jnp.moveaxis(qkv, 3, 0)
+        attn = jnp.einsum("btqhd,btkhd->bthqk", q, k) * (hd ** -0.5)
+        table = self.param("relative_position_bias_table",
+                           trunc_normal_init(0.02),
+                           ((2 * self.window - 1) ** 2, h))
+        idx = relative_position_index(self.window).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)  # (h, n, n)
+        attn = attn + bias[None, None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("bthqk,btkhd->btqdh", attn, v).reshape(b, t, n, c)
+        out = nn.Dense(c, kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
 class NestTransformerLayer(nn.Module):
     dim: int
     num_heads: int
@@ -93,15 +194,27 @@ class NestTransformerLayer(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    attn_type: str = "standard"  # 'standard' | 'gpsa' | 'rel'
+    block_size: int = 5  # for 'rel' bias window
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
         dp = DropPath(self.drop_path, name="drop_path")
-        y = NestAttention(self.dim, self.num_heads, self.qkv_bias,
-                          self.attn_drop, self.drop, dtype=self.dtype,
-                          name="attn")(ln("norm1")(x), train)
+        if self.attn_type == "gpsa":
+            attn = NestGPSA(self.dim, self.num_heads, self.qkv_bias,
+                            self.attn_drop, self.drop, dtype=self.dtype,
+                            name="attn")
+        elif self.attn_type == "rel":
+            attn = NestRelAttention(self.dim, self.num_heads, self.block_size,
+                                    self.qkv_bias, self.attn_drop, self.drop,
+                                    dtype=self.dtype, name="attn")
+        else:
+            attn = NestAttention(self.dim, self.num_heads, self.qkv_bias,
+                                 self.attn_drop, self.drop, dtype=self.dtype,
+                                 name="attn")
+        y = attn(ln("norm1")(x), train)
         x = x + dp(y, deterministic=not train)
         h = ln("norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
@@ -147,6 +260,8 @@ class Nest(nn.Module):
     drop_path_rate: float = 0.5
     conv_stem: bool = False  # resembed variant
     stem_hidden: int = 64
+    gpsa_levels: int = 0  # levels < this use GPSA (nest_gpsa.py:375)
+    rel_bias: bool = False  # all levels use relative-position bias (nest_rel)
     dtype: Any = jnp.float32
 
     @property
@@ -182,10 +297,13 @@ class Nest(nn.Module):
             pos = self.param(f"levels_{lvl}_pos_embed", trunc_normal_init(0.02),
                              (1, num_blocks[lvl], seq_len, dim))
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x + pos)
+            attn_type = ("gpsa" if lvl < self.gpsa_levels
+                         else "rel" if self.rel_bias else "standard")
             for j in range(self.depths[lvl]):
                 x = NestTransformerLayer(
                     dim, self.num_heads[lvl], self.mlp_ratio, self.qkv_bias,
                     self.drop_rate, self.attn_drop_rate, dpr[first + j],
+                    attn_type=attn_type, block_size=block_size,
                     dtype=self.dtype, name=f"levels_{lvl}_layers_{j}",
                 )(x, train)
             first += self.depths[lvl]
@@ -211,6 +329,33 @@ def nest_micro_80(**kwargs: Any) -> Nest:
 
 @models.register("nest_micro_resembed_80")
 def nest_micro_resembed_80(**kwargs: Any) -> Nest:
+    return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(4, 12, 16),
+                depths=(2, 2, 2), conv_stem=True, **kwargs)
+
+
+@models.register("nest_micro_v2_gpsa")
+def nest_micro_v2_gpsa(**kwargs: Any) -> Nest:
+    """v2 dims with GPSA in levels 0-1 (``meta_tuning_sun_m/nest_gpsa.py:
+    531-536,573-577``; ``use_gpsa = i < 2`` at ``:375``)."""
+    return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(16, 24, 32),
+                depths=(2, 2, 2), gpsa_levels=2, **kwargs)
+
+
+@models.register("nest_micro_v2_rel_80")
+def nest_micro_v2_rel_80(**kwargs: Any) -> Nest:
+    """v2 dims with relative-position-bias attention in every level
+    (``meta_tuning_sun_m/nest_rel.py:465-470,507-511``; window = block grid
+    at ``:212``)."""
+    return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(16, 24, 32),
+                depths=(2, 2, 2), rel_bias=True, **kwargs)
+
+
+@models.register("nest_micro_resembed_ada_80")
+def nest_micro_resembed_ada_80(**kwargs: Any) -> Nest:
+    """Registered reference variant whose 'adapool' is commented out of its
+    own forward (``meta_tuning_sun_m/nest_adapool.py:252-266`` — AdaptivePool
+    constructed nowhere, applied nowhere), so the live model is exactly
+    nest_micro_resembed (same ctor at ``:576-581,620-624``)."""
     return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(4, 12, 16),
                 depths=(2, 2, 2), conv_stem=True, **kwargs)
 

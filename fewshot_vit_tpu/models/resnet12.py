@@ -64,3 +64,112 @@ def resnet12(**kwargs: Any) -> ResNet12:
 @models.register("resnet12-wide")
 def resnet12_wide(**kwargs: Any) -> ResNet12:
     return ResNet12(channels=(64, 160, 320, 640), **kwargs)
+
+
+class DropBlock(nn.Module):
+    """Structured dropout: zero ``block_size``-square neighbourhoods around
+    Bernoulli-sampled centres, rescaled by kept fraction (reference
+    ``sun_meta_training/models/resnet_drop.py:8-65``; the reference's
+    scatter-dilation is expressed as a max-pool here — same mask)."""
+
+    block_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, gamma: jax.Array, train: bool) -> jax.Array:
+        if not train:
+            return x
+        bs = self.block_size
+        b, h, w, c = x.shape
+        rng = self.make_rng("dropout")
+        pts = jax.random.bernoulli(
+            rng, gamma, (b, h - bs + 1, w - bs + 1, c)
+        ).astype(x.dtype)
+        lp, rp = (bs - 1) // 2, bs // 2
+        pts = jnp.pad(pts, ((0, 0), (lp, rp), (lp, rp), (0, 0)))
+        dilated = nn.max_pool(pts, (bs, bs), strides=(1, 1),
+                              padding=((lp, rp), (lp, rp)))
+        mask = 1.0 - dilated
+        count = mask.size
+        ones = jnp.sum(mask)
+        return mask * x * (count / jnp.maximum(ones, 1.0))
+
+
+class Res12DropBlock(nn.Module):
+    """Drop-variant residual block (``resnet_drop.py:77-133``): triple conv +
+    1x1 shortcut, optional 2x2 maxpool, then dropout (early layers) or
+    DropBlock with a keep-rate ramp over seen batches (late layers)."""
+
+    planes: int
+    pool: bool = True
+    drop_rate: float = 0.0
+    drop_block: bool = False
+    block_size: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding=k // 2, use_bias=False,
+            kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        out = leaky_relu(bn("bn1")(conv(self.planes, 3, "conv1")(x)))
+        out = leaky_relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
+        out = bn("bn3")(conv(self.planes, 3, "conv3")(out))
+        identity = bn("downsample_bn")(conv(self.planes, 1, "downsample_conv")(x))
+        out = leaky_relu(out + identity)
+        if self.pool:
+            out = nn.max_pool(out, (2, 2), strides=(2, 2))
+        if self.drop_rate > 0:
+            # seen-batch counter (reference num_batches_tracked; counted on
+            # train steps — the mutable passes that also update BN stats)
+            tracked = self.variable("batch_stats", "num_batches_tracked",
+                                    lambda: jnp.zeros((), jnp.float32))
+            if train and not self.is_initializing():
+                tracked.value = tracked.value + 1.0
+            if self.drop_block:
+                fs = out.shape[1]
+                bs = self.block_size
+                keep = jnp.maximum(
+                    1.0 - self.drop_rate / (20 * 2000) * tracked.value,
+                    1.0 - self.drop_rate,
+                )
+                gamma = ((1.0 - keep) / bs ** 2 * fs ** 2
+                         / (fs - bs + 1) ** 2)
+                out = DropBlock(bs, name="drop")(out, gamma, train)
+            else:
+                out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
+        return out
+
+
+class ResNet12Drop(nn.Module):
+    """resnet12-drop (``resnet_drop.py:135-197``): wide channels, dropout on
+    layers 1-2, DropBlock(5) on layers 3-4, NO pool on layer 4 (dense map is
+    10x10 at 80px)."""
+
+    channels: Sequence[int] = (64, 160, 320, 640)
+    drop_rate: float = 0.1
+    dropblock_size: int = 5
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return self.channels[3]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        for i, c in enumerate(self.channels):
+            x = Res12DropBlock(
+                c, pool=i < 3, drop_rate=self.drop_rate,
+                drop_block=i >= 2, block_size=self.dropblock_size,
+                dtype=self.dtype, name=f"layer{i + 1}",
+            )(x, train)
+        return x, global_avg_pool(x)
+
+
+@models.register("resnet12-drop")
+def resnet12_drop(**kwargs: Any) -> ResNet12Drop:
+    return ResNet12Drop(**kwargs)

@@ -169,6 +169,7 @@ class SwinBlock(nn.Module):
 class PatchMerging(nn.Module):
     dim: int
     input_resolution: Tuple[int, int]
+    smooth: bool = False  # 'adapool' variant: 3x3 avg smoothing before merge
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -176,6 +177,11 @@ class PatchMerging(nn.Module):
         h, w = self.input_resolution
         b, l, c = x.shape
         x = x.reshape(b, h, w, c)
+        if self.smooth:
+            # the reference's live AdaptivePool path is a plain AvgPool2d(3,1,1)
+            # (swin_3conv_adapool.py:347-357 — the learned max-mix is commented
+            # out, its gating weight left an unused parameter)
+            x = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
         x = jnp.concatenate(
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
@@ -202,6 +208,7 @@ class SwinTransformer(nn.Module):
     patch_norm: bool = True
     conv_stem: bool = False  # 3conv (resembed) variant
     stem_hidden: int = 64
+    merge_smooth: bool = False  # 'adapool' variant
     dtype: Any = jnp.float32
 
     @property
@@ -248,7 +255,8 @@ class SwinTransformer(nn.Module):
                 )(x, train)
             first += depth
             if i < len(self.depths) - 1:
-                x = PatchMerging(dim, (res, res), dtype=self.dtype,
+                x = PatchMerging(dim, (res, res), smooth=self.merge_smooth,
+                                 dtype=self.dtype,
                                  name=f"layers_{i}_downsample")(x)
                 res //= 2
 
@@ -271,4 +279,17 @@ def swin_micro_resembed_80(drop_path_rate: float = 0.5, **kwargs: Any) -> SwinTr
         img_size=80, patch_size=4, window_size=5, embed_dim=144,
         depths=(2, 3, 2), num_heads=(4, 8, 16),
         drop_path_rate=drop_path_rate, conv_stem=True, **kwargs,
+    )
+
+
+@models.register("swin_micro_v2_resembed_ada_80")
+def swin_micro_v2_resembed_ada_80(drop_path_rate: float = 0.5, **kwargs: Any) -> SwinTransformer:
+    """3conv stem + avg-smoothing before each PatchMerging (reference
+    ``meta_tuning_sun_m/swin_3conv_adapool.py:683-689``; live adapool behavior
+    at ``:347-357,371,385``)."""
+    return SwinTransformer(
+        img_size=80, patch_size=4, window_size=5, embed_dim=144,
+        depths=(2, 3, 2), num_heads=(4, 8, 16),
+        drop_path_rate=drop_path_rate, conv_stem=True, merge_smooth=True,
+        **kwargs,
     )

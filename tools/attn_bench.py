@@ -45,12 +45,29 @@ def main():
             v = jax.random.normal(k3, (b, t, h, hd), dtype)
             scale = hd ** -0.5
 
-            xla = jax.jit(lambda q, k, v: attention_core(q, k, v, scale, use_pallas=False))
-            t_xla = timeit(xla, q, k, v)
+            # reduce to a scalar INSIDE the program: fetching the full output
+            # would cost seconds over this box's ~9 MB/s host link and swamp
+            # the kernel time. Loop the op in-program so the scalar fetch
+            # amortizes to nothing.
+            REPS = 8
 
-            pal = jax.jit(lambda q, k, v: attention_core(q, k, v, scale, use_pallas=True))
+            def looped(core):
+                def fn(q, k, v):
+                    def body(c, _):
+                        o = core(q + c, k, v, scale)
+                        return o.mean().astype(q.dtype), None
+                    c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype), None, length=REPS)
+                    return c
+                return jax.jit(fn)
+
+            from functools import partial
+
+            xla = looped(partial(attention_core, use_pallas=False))
+            t_xla = timeit(xla, q, k, v) / REPS
+
+            pal = looped(partial(attention_core, use_pallas=True))
             try:
-                t_pal = timeit(pal, q, k, v)
+                t_pal = timeit(pal, q, k, v) / REPS
                 ratio = t_xla / t_pal
                 verdict = "pallas" if ratio > 1.05 else ("xla" if ratio < 0.95 else "tie")
                 print(f"{dtag} {tag:20s} B={b:5d} T={t:3d} H={h} hd={hd:3d}: "
