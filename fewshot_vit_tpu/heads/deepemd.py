@@ -78,9 +78,14 @@ def emd_logits(
     solver_reg: float = 0.05,
     solver_iters: int = 100,
     differentiable: bool = False,
+    solver_impl: str = "xla",
 ) -> jax.Array:
     """Full DeepEMD matching: proto (..., way, N, C), query (..., Q, N, C) ->
-    logits (..., Q, way). Mirrors ``emd_forward_1shot`` (``:67-81``)."""
+    logits (..., Q, way). Mirrors ``emd_forward_1shot`` (``:67-81``).
+
+    ``solver_impl='pallas'`` dispatches the Sinkhorn inner loop to the fused
+    VMEM-resident kernel (``kernels/sinkhorn.py``; identical math, flows
+    stop-gradient)."""
     w_query = weight_vector(query, proto)  # (..., Q, way, N) row marginals
     w_proto = weight_vector(proto, query)  # (..., way, Q, N) col marginals
     w_proto = jnp.swapaxes(w_proto, -2, -3)  # (..., Q, way, N)
@@ -91,8 +96,19 @@ def emd_logits(
 
     w1 = normalize_weights(w_query)
     w2 = normalize_weights(w_proto)
-    flow = sinkhorn(1.0 - sim, w1, w2, reg=solver_reg, iters=solver_iters,
-                    differentiable=differentiable)
+    if solver_impl == "pallas" and not differentiable:
+        from ..kernels.sinkhorn import sinkhorn_pallas
+
+        cost = 1.0 - sim
+        lead = cost.shape[:-2]
+        n1, n2 = cost.shape[-2:]
+        flow = sinkhorn_pallas(
+            cost.reshape(-1, n1, n2), w1.reshape(-1, n1), w2.reshape(-1, n2),
+            reg=solver_reg, iters=solver_iters,
+        ).reshape(*lead, n1, n2)
+    else:
+        flow = sinkhorn(1.0 - sim, w1, w2, reg=solver_reg, iters=solver_iters,
+                        differentiable=differentiable)
     return emd_distance(sim, flow, temperature)
 
 
@@ -163,7 +179,8 @@ class DeepEMD(nn.Module):
     solver_reg: float = 0.05
     solver_iters: int = 100
     # 'opencv' semantics = stop-gradient flows; 'qpth' = flows differentiable
-    # through the unrolled Sinkhorn iterations (reference Network.py:77-80)
+    # through the unrolled Sinkhorn iterations (reference Network.py:77-80);
+    # 'sinkhorn_pallas' = stop-gradient flows via the fused VMEM kernel
     solver: str = "opencv"
     feature_pyramid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
@@ -205,6 +222,7 @@ class DeepEMD(nn.Module):
             temperature=self.temperature, metric=self.metric, norm=self.norm,
             solver_reg=self.solver_reg, solver_iters=self.solver_iters,
             differentiable=self.solver == "qpth",
+            solver_impl="pallas" if self.solver == "sinkhorn_pallas" else "xla",
         )
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -142,8 +142,9 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, T, heads, d)
 
-        # Pallas fusion pays off only on the longer token axes (measured:
-        # ~2x at T=100, slower at T=25 where tile padding dominates)
+        # XLA's fused einsum chain beats the Pallas kernel at every shape in
+        # this zoo (1.4-2.8x; tile padding at T<=100, hd<=85 — see
+        # docs/KERNELS.md for the measured table), so False is the default.
         if self.use_pallas and not train and self.attn_drop == 0.0 and h * w >= 64:
             from ..kernels.attention import attention_core
 

@@ -85,6 +85,7 @@ class TestOrbaxRoundTrip:
         assert meta["epoch"] == 7
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchCheckpointIngestion:
     def test_meta_baseline_pth_roundtrip(self, tmp_path):

@@ -1,29 +1,61 @@
-"""End-to-end CLI integration: the three phases chained through on-disk
-checkpoints on CPU with a small encoder (the TPU-scale variant of this chain
-runs as a smoke via configs/smoke_*.yaml).
+"""End-to-end CLI pipeline chain, default-on.
 
-Opt-in via RUN_SLOW=1: on this dev box the XLA:CPU compile of an epoch-scan
-program takes ~6 min (remote-compile interception), making the chain ~20 min;
-the same chain runs in ~5 min on the TPU via the smoke configs."""
+Runs the real phase CLIs as subprocesses — fresh processes get the box's
+ambient platform (the real TPU here), sidestepping conftest's CPU pin — and
+chains them through on-disk checkpoints:
 
+  phase 1 pretrain -> phase 2 SUN (loads p1) -> phase 3a meta-tune (loads p2)
+  -> phase 3b SUN-D EMD meta-tune (loads p2) -> eval.run (loads p3a max-va)
+
+A checkpoint-layout or config-key regression anywhere in the hand-off fails
+here. Skipped only when no accelerator is reachable (XLA:CPU epoch-program
+compiles take ~6 min each on this box) unless RUN_SLOW=1 forces it.
+"""
+
+import json
 import os
+import subprocess
 import sys
 
-import numpy as np
-import jax
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow
 
-def _run(module_main, parse_args, cfg_path, name, save_root):
-    argv = sys.argv
-    sys.argv = ["prog", "--config", cfg_path, "--name", name,
-                "--save-root", str(save_root)]
-    try:
-        cfg, args = parse_args("test")
-        return module_main(cfg, args)
-    finally:
-        sys.argv = argv
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = ":".join([REPO] + [p for p in sys.path if p])
+    return env
+
+
+def _run_cli(module, cfg_path, name, save_root, extra=()):
+    out = subprocess.run(
+        [sys.executable, "-m", module, "--config", str(cfg_path),
+         "--name", name, "--save-root", str(save_root), *extra],
+        capture_output=True, text=True, timeout=900, env=_clean_env(), cwd=REPO,
+    )
+    assert out.returncode == 0, f"{module} failed:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def accelerator():
+    """True iff a fresh process sees a non-CPU jax platform."""
+    if os.environ.get("RUN_SLOW") == "1":
+        return True
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=180, env=_clean_env(),
+    )
+    plat = probe.stdout.strip().splitlines()[-1] if probe.returncode == 0 else ""
+    if plat in ("", "cpu"):
+        pytest.skip(f"no accelerator (platform={plat or 'none'}); "
+                    "set RUN_SLOW=1 to run the chain on CPU")
+    return True
 
 
 @pytest.fixture(scope="module")
@@ -31,62 +63,81 @@ def save_root(tmp_path_factory):
     return tmp_path_factory.mktemp("save")
 
 
-@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
-                    reason="epoch-program CPU compiles are ~6min on this box; set RUN_SLOW=1")
+def _write(tmp, name, cfg):
+    p = tmp / name
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
 class TestPipelineChain:
-    def _write(self, tmp, name, cfg):
-        p = tmp / name
-        p.write_text(yaml.safe_dump(cfg))
-        return str(p)
+    def test_chain(self, accelerator, save_root, tmp_path):
+        ds_args = {"n_classes": 8, "n_per_class": 24, "image_size": 80}
+        enc = {"encoder": "visformer_micro_80"}
 
-    def test_chain(self, save_root, tmp_path):
-        from fewshot_vit_tpu.train.pretrain import main as pretrain_main
-        from fewshot_vit_tpu.train.sun import main as sun_main
-        from fewshot_vit_tpu.train.meta_tune import main as tune_main
-        from fewshot_vit_tpu.train.runner import parse_args
-
-        ds_args = {"n_classes": 8, "n_per_class": 16, "image_size": 32}
-        enc = {"encoder": "resnet12"}
-
-        p1 = self._write(tmp_path, "p1.yaml", {
+        p1 = _write(tmp_path, "p1.yaml", {
             "train_dataset": "synthetic", "train_dataset_args": ds_args,
             "model": "classifier", "model_args": enc,
-            "batch_size": 32, "max_epoch": 1, "image_size": 32,
+            "batch_size": 32, "max_epoch": 1, "image_size": 80,
             "optimizer": "adamw", "optimizer_args": {"lr": 1e-3},
             "eval_fs_epoch": 0,
         })
-        state1 = _run(pretrain_main, parse_args, p1, "p1", save_root)
+        _run_cli("fewshot_vit_tpu.train.pretrain", p1, "p1", save_root)
         assert (save_root / "p1" / "epoch-last" / "arrays").exists()
 
-        p2 = self._write(tmp_path, "p2.yaml", {
+        p2 = _write(tmp_path, "p2.yaml", {
             "train_dataset": "synthetic", "train_dataset_args": ds_args,
             "model": "token-label", "model_args": enc,
             "load": str(save_root / "p1" / "epoch-last"),
-            "augment": "none",  # device RandAugment compile is slow on CPU
-            "tl_soft_k": 3, "bg_token_num": 1, "token_label_weight": 0.5,
-            "batch_size": 32, "max_epoch": 1, "image_size": 32,
+            "tl_soft_k": 3, "bg_token_num": 2, "token_label_weight": 0.5,
+            "batch_size": 32, "max_epoch": 1, "image_size": 80,
             "optimizer": "adamw", "optimizer_args": {"lr": 5e-4},
             "eval_fs_epoch": 0,
         })
-        state2 = _run(sun_main, parse_args, p2, "p2", save_root)
-        # student encoder initialized from the phase-1 encoder, then trained
+        _run_cli("fewshot_vit_tpu.train.sun", p2, "p2", save_root)
         assert (save_root / "p2" / "epoch-last" / "arrays").exists()
 
-        p3 = self._write(tmp_path, "p3.yaml", {
+        p3 = _write(tmp_path, "p3.yaml", {
             "train_dataset": "synthetic", "train_dataset_args": ds_args,
             "val_dataset": "synthetic",
             "val_dataset_args": {**ds_args, "seed": 1},
+            "tval_dataset": "synthetic",
+            "tval_dataset_args": {**ds_args, "seed": 2},
             "model": "meta-baseline", "model_args": enc,
             "load_encoder": str(save_root / "p2" / "epoch-last"),
             "n_way": 4, "n_shot": 1, "n_query": 3,
             "n_train_way": 4, "n_train_query": 3,
             "ep_per_batch": 2, "train_batches": 3, "max_epoch": 1,
             "optimizer": "sgd", "optimizer_args": {"lr": 1e-3},
-            "val_episodes": 8,
+            "val_episodes": 8, "tval_episodes": 8,
         })
-        state3 = _run(tune_main, parse_args, p3, "p3", save_root)
+        out3 = _run_cli("fewshot_vit_tpu.train.meta_tune", p3, "p3", save_root)
         assert (save_root / "p3" / "max-va" / "arrays").exists()
+        assert "tval" in out3
 
-        # phase-3 encoder must differ from random init (it was loaded+tuned)
-        leaves = jax.tree_util.tree_leaves(state3.params["encoder"])
-        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        p3b = _write(tmp_path, "p3b.yaml", {
+            "train_dataset": "synthetic", "train_dataset_args": ds_args,
+            "val_dataset": "synthetic",
+            "val_dataset_args": {**ds_args, "seed": 1},
+            "model_args": enc,
+            "load_encoder": str(save_root / "p2" / "epoch-last"),
+            "deepemd": "grid", "patch_list": [2], "patch_ratio": 2,
+            "way": 4, "shot": 1, "query": 3, "bs": 1,
+            "train_batches": 2, "max_epoch": 1, "lr": 5e-4,
+            "solver": "sinkhorn",
+            "val_episode": 8,
+        })
+        _run_cli("fewshot_vit_tpu.train.meta_tune_emd", p3b, "p3b", save_root)
+
+        # eval phase on the phase-3a artifact
+        ev = _write(tmp_path, "ev.yaml", {
+            "dataset": "synthetic", "dataset_args": {**ds_args, "seed": 3},
+            "load": str(save_root / "p3" / "max-va"),
+            "encoder": "visformer_micro_80",
+        })
+        out = subprocess.run(
+            [sys.executable, "-m", "fewshot_vit_tpu.eval.run", "--config", ev,
+             "--episodes", "16", "--shot", "1"],
+            capture_output=True, text=True, timeout=900, env=_clean_env(), cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        assert "acc=" in out.stdout

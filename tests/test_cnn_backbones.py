@@ -40,6 +40,7 @@ class TestContracts:
         assert p.shape == (2, out_dim)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchParity:
     def _parity(self, torch_net, flax_model, key_fn, img=80, tol=2e-3,
@@ -102,6 +103,7 @@ class TestTorchParity:
                      pooled_only=True)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestDeiTParity:
     def test_deit_nano_84(self):

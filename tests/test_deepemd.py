@@ -28,6 +28,7 @@ def node_feats(seed, m, n, c):
     return rng.normal(size=(m, n, c)).astype(np.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchMathParity:
     @pytest.fixture(scope="class")

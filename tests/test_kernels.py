@@ -35,6 +35,26 @@ class TestSinkhornKernel:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+class TestSolverDispatch:
+    def test_head_sinkhorn_pallas_matches_xla(self, monkeypatch):
+        """solver='sinkhorn_pallas' routes emd_logits through the kernel and
+        agrees with the XLA scan path."""
+        import fewshot_vit_tpu.kernels.sinkhorn as ks
+        from fewshot_vit_tpu.heads.deepemd import emd_logits
+
+        orig = ks.sinkhorn_pallas
+        monkeypatch.setattr(
+            ks, "sinkhorn_pallas",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+        )
+        rng = np.random.default_rng(4)
+        proto = jnp.asarray(rng.normal(size=(3, 25, 16)), jnp.float32)
+        query = jnp.asarray(rng.normal(size=(6, 25, 16)), jnp.float32)
+        got = np.asarray(emd_logits(proto, query, solver_impl="pallas"))
+        want = np.asarray(emd_logits(proto, query))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 class TestAttentionKernel:
     def test_matches_xla_attention(self):
         rng = np.random.default_rng(2)

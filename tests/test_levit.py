@@ -22,6 +22,7 @@ class TestContract:
         assert p.shape == (2, 512)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchParity:
     def test_levit_micro(self):

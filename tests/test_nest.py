@@ -40,6 +40,7 @@ class TestContracts:
         assert p.shape == (2, out_dim)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchParity:
     def _parity(self, torch_net, flax_model, tol=2e-3):

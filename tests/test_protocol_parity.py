@@ -17,9 +17,10 @@ import pytest
 
 from . import ref_loader
 
-pytestmark = pytest.mark.skipif(
-    not ref_loader.available(), reason="reference/torch not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available"),
+]
 
 WAY, SHOT, QUERY = 5, 1, 15
 N_EPISODES = 16

@@ -30,6 +30,7 @@ class TestContracts:
         assert p.shape == (2, 576)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchParity:
     def _parity(self, torch_net, flax_model, img, tol=2e-3, dense_is_seq=True):

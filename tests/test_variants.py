@@ -64,6 +64,7 @@ class TestContracts:
         np.testing.assert_array_equal(np.asarray(d3), np.asarray(d4))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchParity:
     def _convert(self, torch_net, flax_model, key_fn):

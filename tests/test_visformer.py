@@ -53,6 +53,7 @@ class TestShapes:
         assert 5e6 < n < 20e6
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchParity:
     @pytest.fixture(scope="class")

@@ -108,6 +108,7 @@ def main():
     sweep = [64] if args.quick else [32, 64, 128]
     for dtype, tag in [(jnp.float32, "fp32"), (jnp.bfloat16, "bf16")]:
         for pallas in ([False] if tag == "fp32" else [False, True]):
+            sweep_i = [64] if pallas else sweep
             enc_args = {"use_pallas_attn": True} if pallas else {}
             head = models.make("meta-baseline", encoder="visformer_micro_80",
                                encoder_args=enc_args, dtype=dtype)
@@ -116,7 +117,7 @@ def main():
             with jax.default_device(jax.devices("cpu")[0]):
                 variables = head.init(jax.random.key(0), xs0, xq0)
             variables = jax.device_put(variables, jax.devices()[0])
-            for epb_i in sweep:
+            for epb_i in sweep_i:
                 try:
                     evaluate(head, variables, ds, n_episodes=n_episodes, way=way, shot=shot,
                              query=query, ep_per_batch=epb_i, seed=1, images_dev=images_dev)
