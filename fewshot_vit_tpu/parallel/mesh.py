@@ -28,11 +28,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Opt-in multi-host (DCN) initialization.
+
+    Call once per process before any other jax API; afterwards
+    ``jax.devices()`` spans every host and ``make_mesh`` lays DCN on the
+    OUTERMOST axis dim so inner-axis collectives ride ICI. On managed TPU
+    slices (GKE/TPU-VM metadata) all arguments auto-detect — pass them only
+    for manual clusters. Returns the process count.
+
+    No-op (returns 1) when the cluster is a single process and no
+    coordinator is configured — single-host runs need no setup.
+    """
+    import os
+
+    configured = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not configured and (num_processes or 1) <= 1:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def make_mesh(
     axes: Optional[Dict[str, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a mesh. Default: 1-D ``data`` mesh over all local devices."""
+    """Build a mesh. Default: 1-D ``data`` mesh over all (global) devices.
+
+    Multi-host: after ``init_distributed``, ``jax.devices()`` is globally
+    ordered process-major, so the FIRST axis in ``axes`` varies slowest
+    across processes — put the data-parallel axis first and DCN traffic is
+    pure gradient psum while ``model``-axis collectives stay on ICI.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if axes is None:
         axes = {"data": len(devices)}

@@ -34,8 +34,15 @@ def parse_args(description: str) -> Tuple[Config, argparse.Namespace]:
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of epoch 2 here")
     args = p.parse_args()
-    rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
+    if cfg.get("distributed"):
+        # multi-host DCN: must run before any other jax API in this process
+        from ..parallel import init_distributed
+
+        n = init_distributed(**dict(cfg.get("distributed_args", {}) or {}))
+        print(f"jax.distributed: {n} processes, "
+              f"{len(jax.devices())} global devices")
+    rng_mod.enable_compilation_cache()
     return cfg, args
 
 

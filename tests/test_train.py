@@ -73,6 +73,17 @@ class TestPretrainStep:
         assert int(state.step) == 30
 
 
+class TestDistributedInit:
+    def test_single_process_noop(self):
+        """Without a coordinator, init_distributed is a safe no-op (multi-host
+        DCN clusters pass coordinator_address/num_processes/process_id or set
+        JAX_COORDINATOR_ADDRESS; see parallel/mesh.py::init_distributed)."""
+        from fewshot_vit_tpu.parallel import init_distributed
+
+        assert init_distributed() == 1
+        assert init_distributed(num_processes=1) == 1
+
+
 class TestSamPretrainWiring:
     """optimizer: sam reaches the two-pass step from config (VERDICT r1 #5)."""
 
