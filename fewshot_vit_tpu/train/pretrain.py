@@ -185,6 +185,16 @@ def main(cfg, args) -> TrainState:
         if fs_ds is not None and eval_fs_epoch and epoch % eval_fs_epoch == 0:
             fm = fs_eval(model.encoder, sub_variables(state.variables, "encoder"), fs_ds,
                          n_episodes=int(cfg.get("eval_fs_episodes", 200)))
+            if cfg.get("eval_emd"):
+                # SUN-D-style DeepEMD-episode validation during CE pretraining
+                # (reference meta_tuning_sun_d/train_pretrain.py:139-168)
+                from .runner import emd_fs_eval
+
+                fm.update(emd_fs_eval(
+                    model.encoder, sub_variables(state.variables, "encoder"),
+                    fs_ds, n_episodes=int(cfg.get("eval_emd_episodes", 100)),
+                    mode=cfg.get("eval_emd_mode", "fcn"),
+                ))
             line += " | " + " ".join(f"{k}={v:.4f}" for k, v in fm.items())
             logger.metrics(epoch, **fm)
 

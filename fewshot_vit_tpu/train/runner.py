@@ -146,6 +146,62 @@ def fs_eval(
     return out
 
 
+def emd_fs_eval(
+    encoder, encoder_variables, dataset: ArrayDataset,
+    n_episodes: int = 200, way: int = 5, shot: int = 1, query: int = 15,
+    mode: str = "fcn", patch_list=(2, 3), num_patch: int = 9,
+    patch_ratio: float = 2.0, seed: int = 0,
+) -> Dict[str, float]:
+    """DeepEMD episodic validation during CE pretraining (the reference
+    SUN-D ``train_pretrain.py:139-168`` validates every epoch with
+    deepemd-fcn episodes). One scan program over fixed-seed episodes."""
+    from ..data.sampler import EpisodeSampler
+    from ..heads import DeepEMD
+    from ..ops.metric import mean_confidence_interval
+    from .meta_tune_emd import make_emd_episode_fn, make_patch_fn
+
+    key = (id(encoder), way, shot, query, mode, len(dataset))
+    hit = _FS_HEAD_CACHE.get(key)
+    if hit is not None and hit[0] is encoder:
+        run = hit[1]
+    else:
+        head = DeepEMD(encoder=encoder)
+        img = dataset.images.shape[1]
+        patch_fn = make_patch_fn(mode, list(patch_list), num_patch,
+                                 patch_ratio, img, False)
+        episode_fn = make_emd_episode_fn(
+            head, way, shot, query, patch_fn, dataset.mean, dataset.std,
+            sfc=shot > 1,
+        )
+        labels = jnp.tile(jnp.arange(way), query)
+
+        @jax.jit
+        def run(variables, images, idx, rng):
+            def body(carry, scan_in):
+                idx_e, i = scan_in
+                logits = episode_fn(variables, images[idx_e],
+                                    jax.random.fold_in(rng, i))
+                acc = jnp.mean((jnp.argmax(logits, -1) == labels)
+                               .astype(jnp.float32))
+                return carry, acc
+
+            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
+            return accs
+
+        _FS_HEAD_CACHE[key] = (encoder, run)
+
+    variables = {col: {"encoder": tree} for col, tree in encoder_variables.items()}
+    sampler = EpisodeSampler(dataset.labels, n_episodes, way, shot + query, 1)
+    idx = np.stack(list(sampler.epoch(rng_mod.np_rng(seed))))
+    # SUN-D interleaved layout: index t*way + w -> (class w, item t)
+    idx = (idx.reshape(n_episodes, way, shot + query)
+           .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
+    accs = np.asarray(run(variables, jax.device_put(dataset.images),
+                          jnp.asarray(idx), rng_mod.root_key(seed)))
+    m, h = mean_confidence_interval(accs)
+    return {"emd_acc": float(m), "emd_ci": float(h)}
+
+
 def load_encoder_from_checkpoint(path: str, target_encoder_vars: Any) -> Any:
     """Load encoder variables from an orbax checkpoint of any head-wrapped
     model (reference ``load_encoder``, ``test_few_shot.py:56-63``)."""

@@ -73,6 +73,29 @@ class TestPretrainStep:
         assert int(state.step) == 30
 
 
+class TestEmdFsEval:
+    def test_emd_validation_hook(self):
+        """The SUN-D-style DeepEMD episodic validation used by pretrain's
+        eval_emd option (reference train_pretrain.py:139-168)."""
+        from fewshot_vit_tpu.core.registry import datasets as dataset_registry
+        import fewshot_vit_tpu.data.datasets  # noqa: F401
+        from fewshot_vit_tpu.train.runner import emd_fs_eval
+        from .test_heads_eval import TinyEncoder
+
+        ds = dataset_registry.make("synthetic", n_classes=6, n_per_class=10,
+                                   image_size=16, seed=0)
+        enc = TinyEncoder()
+        variables = enc.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        out = emd_fs_eval(enc, variables, ds, n_episodes=8, way=4, shot=1,
+                          query=3, mode="fcn")
+        assert 0.0 <= out["emd_acc"] <= 1.0
+        assert out["emd_acc"] > 0.25  # clustered synthetic beats chance
+        # second call hits the jitted-callable cache (no recompile)
+        out2 = emd_fs_eval(enc, variables, ds, n_episodes=8, way=4, shot=1,
+                           query=3, mode="fcn")
+        assert out2["emd_acc"] == out["emd_acc"]
+
+
 class TestDistributedInit:
     def test_single_process_noop(self):
         """Without a coordinator, init_distributed is a safe no-op (multi-host
