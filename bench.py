@@ -2,7 +2,9 @@
 
 Protocol: 5-way 1-shot 15-query episodes, Visformer-micro-80 MetaBaseline,
 full re-encode of all 80 images per episode (NO feature caching — matching the
-reference's ``test_phase/test_few_shot.py`` work per episode), fp32.
+reference's ``test_phase/test_few_shot.py`` work per episode), bfloat16
+activations (measured identical mean accuracy to fp32; the parameters stay
+fp32 — see docs/PERF.md for the precision study and the roofline analysis).
 
 Dataset: real miniImageNet test pickle if present under ``./materials``,
 otherwise a synthetic stand-in with the same test-split geometry
@@ -10,6 +12,10 @@ otherwise a synthetic stand-in with the same test-split geometry
 
 Baseline: the north-star target of >=10k eval episodes/min on a TPU v4-8
 (4 chips) => 41.67 episodes/sec/chip. vs_baseline = measured / 41.67.
+
+Config from the tools/perf_probe.py sweep (2026-08-16, v5e): bf16 +
+ep_per_batch=128 (250.5 eps/s; fp32/64 was 189.7). The program is
+encoder-compute-bound: gather+normalize is <1% of time and attention <2%.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -35,7 +41,7 @@ def main():
     from fewshot_vit_tpu.eval.episodic import evaluate
 
     way, shot, query = 5, 1, 15
-    ep_per_batch = 64  # measured optimum on v5e (32: -7%, 128: -13%)
+    ep_per_batch = 128  # measured optimum on v5e in bf16 (32/64 within 4%)
     n_episodes = 1024
 
     if os.path.exists("./materials/miniImageNet_category_split_test.pickle"):
@@ -43,7 +49,8 @@ def main():
     else:
         ds = datasets.make("synthetic", n_classes=20, n_per_class=600, image_size=80, seed=0)
 
-    head = models.make("meta-baseline", encoder="visformer_micro_80")
+    head = models.make("meta-baseline", encoder="visformer_micro_80",
+                       dtype=jnp.bfloat16)
     xs = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
     xq = jnp.zeros((1, way * query, 80, 80, 3), jnp.float32)
     # init on CPU: TPU compiles go through a slow remote-compile path here,

@@ -105,33 +105,30 @@ def main():
               f"{tf:.1f} TFLOP/s achieved ({n_episodes/t:.0f} eps/s equivalent)")
 
     # --- full protocol: fp32 vs bf16 x ep_per_batch sweep ---
+    # (Pallas attention is benchmarked at the kernel level in
+    # tools/attn_bench.py — XLA wins at these shapes, see docs/KERNELS.md.)
     sweep = [64] if args.quick else [32, 64, 128]
     for dtype, tag in [(jnp.float32, "fp32"), (jnp.bfloat16, "bf16")]:
-        for pallas in ([False] if tag == "fp32" else [False, True]):
-            sweep_i = [64] if pallas else sweep
-            enc_args = {"use_pallas_attn": True} if pallas else {}
-            head = models.make("meta-baseline", encoder="visformer_micro_80",
-                               encoder_args=enc_args, dtype=dtype)
-            xs0 = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
-            xq0 = jnp.zeros((1, way * query, 80, 80, 3), jnp.float32)
-            with jax.default_device(jax.devices("cpu")[0]):
-                variables = head.init(jax.random.key(0), xs0, xq0)
-            variables = jax.device_put(variables, jax.devices()[0])
-            for epb_i in sweep_i:
-                try:
-                    evaluate(head, variables, ds, n_episodes=n_episodes, way=way, shot=shot,
-                             query=query, ep_per_batch=epb_i, seed=1, images_dev=images_dev)
-                except Exception as e:  # e.g. HBM OOM at compile
-                    print(f"full protocol {tag}{'+pallas' if pallas else ''} epb={epb_i}: "
-                          f"FAILED ({type(e).__name__}: {str(e)[:90]})")
-                    continue
-                t0 = time.perf_counter()
+        head = models.make("meta-baseline", encoder="visformer_micro_80", dtype=dtype)
+        xs0 = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
+        xq0 = jnp.zeros((1, way * query, 80, 80, 3), jnp.float32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = head.init(jax.random.key(0), xs0, xq0)
+        variables = jax.device_put(variables, jax.devices()[0])
+        for epb_i in sweep:
+            try:
                 evaluate(head, variables, ds, n_episodes=n_episodes, way=way, shot=shot,
-                         query=query, ep_per_batch=epb_i, seed=2, images_dev=images_dev)
-                dt = time.perf_counter() - t0
-                print(f"full protocol {tag}{'+pallas' if pallas else ''} epb={epb_i}: "
-                      f"{n_episodes/dt:.1f} eps/s "
-                      f"({flops_per_img*n_episodes*80/dt/1e12:.1f} TF/s effective)")
+                         query=query, ep_per_batch=epb_i, seed=1, images_dev=images_dev)
+            except Exception as e:  # e.g. HBM OOM at compile
+                print(f"full protocol {tag} epb={epb_i}: "
+                      f"FAILED ({type(e).__name__}: {str(e)[:90]})")
+                continue
+            t0 = time.perf_counter()
+            evaluate(head, variables, ds, n_episodes=n_episodes, way=way, shot=shot,
+                     query=query, ep_per_batch=epb_i, seed=2, images_dev=images_dev)
+            dt = time.perf_counter() - t0
+            print(f"full protocol {tag} epb={epb_i}: {n_episodes/dt:.1f} eps/s "
+                  f"({flops_per_img*n_episodes*80/dt/1e12:.1f} TF/s effective)")
 
 
 if __name__ == "__main__":
