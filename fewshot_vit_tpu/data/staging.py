@@ -117,6 +117,24 @@ class EpochStager:
             imgs_dev.delete()
 
 
+def epoch_subset(
+    images: np.ndarray, idx: np.ndarray, cap: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gather the unique images an epoch's episode indices touch, padded to a
+    fixed ``cap`` rows (one compiled program across epochs), and remap ``idx``
+    into the subset. For episodic tuning on over-HBM datasets (ImageNet-800):
+    an epoch touches at most episodes*way*(shot+query) images, far below the
+    split size."""
+    uniq, inv = np.unique(idx, return_inverse=True)
+    if len(uniq) > cap:
+        raise ValueError(f"epoch touches {len(uniq)} unique images > cap {cap}")
+    subset = np.asarray(images[uniq])
+    if len(uniq) < cap:
+        pad = np.broadcast_to(subset[:1], (cap - len(uniq),) + subset.shape[1:])
+        subset = np.concatenate([subset, pad])
+    return subset, inv.reshape(idx.shape).astype(np.int32)
+
+
 def memmap_cache(path: str, images: Optional[np.ndarray] = None) -> np.ndarray:
     """Write-once / read-many uint8 memmap cache for huge image arrays.
 

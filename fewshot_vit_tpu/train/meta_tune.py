@@ -82,10 +82,34 @@ def main(cfg, args) -> TrainState:
         freeze_bn=bool(cfg.get("freeze_bn", False)),
         mean=train_ds.mean, std=train_ds.std,
     )
-    images_dev = jax.device_put(train_ds.images)
+    # Over-HBM train splits (ImageNet-800 scale, reference
+    # sun_train_teacher/train_meta_im800.yaml): an epoch only touches
+    # train_batches*ep_per_batch*way*(shot+query) images, so gather that
+    # epoch subset host-side (memmap-friendly) and ship it as one
+    # fixed-shape array — episode indices remap to the staged subset.
+    from ..data.staging import DEFAULT_HBM_BUDGET_GB, needs_staging
+
+    hbm_budget = float(cfg.get("hbm_budget_gb", DEFAULT_HBM_BUDGET_GB))
+    stage = needs_staging(train_ds.images, hbm_budget)
+    epoch_cap = min(train_batches * ep_per_batch * way * (shot + query),
+                    len(train_ds))
+    if stage:
+        cap_bytes = epoch_cap * (train_ds.images.nbytes // len(train_ds))
+        if cap_bytes > hbm_budget * 2 ** 30:
+            raise ValueError(
+                f"one epoch touches {cap_bytes / 2**30:.1f} GiB of episode "
+                f"images > hbm_budget_gb={hbm_budget:g}; lower train_batches/"
+                "ep_per_batch or raise the budget")
+        logger.log(f"epoch-subset staging: dataset "
+                   f"{train_ds.images.nbytes / 2**30:.1f} GiB > {hbm_budget:g} GiB; "
+                   f"staging <= {epoch_cap} images/epoch")
+        images_dev = None
+    else:
+        images_dev = jax.device_put(train_ds.images)
     # monitoring splits stay device-resident across epochs (the host->device
     # link here is slow; re-uploading a val split per epoch costs ~10s/100MB)
-    val_images_dev = images_dev if val_ds is train_ds else jax.device_put(val_ds.images)
+    val_images_dev = images_dev if val_ds is train_ds and not stage \
+        else jax.device_put(val_ds.images)
     tval_images_dev = jax.device_put(tval_ds.images) if tval_ds is not None else None
     sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
 
@@ -110,8 +134,19 @@ def main(cfg, args) -> TrainState:
         # per-epoch seeded episode draws (reference train_meta.py:147)
         ep_rng = rng_mod.np_rng(args.seed, epoch)
         idx = np.stack(list(sampler.epoch(ep_rng))).astype(np.int32)
-        state, ms = epoch_fn(state, images_dev, jnp.asarray(idx), rng_mod.epoch_key(root, epoch))
-        m = metrics_mean(ms)
+        if stage:
+            from ..data.staging import epoch_subset
+
+            imgs_epoch, idx_local = epoch_subset(train_ds.images, idx, epoch_cap)
+            imgs_dev_e = jax.device_put(imgs_epoch)
+            state, ms = epoch_fn(state, imgs_dev_e, jnp.asarray(idx_local),
+                                 rng_mod.epoch_key(root, epoch))
+            m = metrics_mean(ms)  # fetch completes the epoch...
+            imgs_dev_e.delete()  # ...so the subset can be freed pre-val
+        else:
+            state, ms = epoch_fn(state, images_dev, jnp.asarray(idx),
+                                 rng_mod.epoch_key(root, epoch))
+            m = metrics_mean(ms)
         line = f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f}"
 
         # fixed-seed episodic val (reference seeds val draws with 0)

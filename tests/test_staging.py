@@ -111,6 +111,29 @@ class TestImageFolderLoader:
             image_folder(root_path=str(tmp_path), image_size=32, cache_memmap=True)
 
 
+class TestEpochSubset:
+    def test_remap_and_fixed_shape(self):
+        from fewshot_vit_tpu.data.staging import epoch_subset
+
+        images, _ = tiny_images(n=240)
+        rng = np.random.default_rng(0)
+        for cap in (60, 100):
+            idx = rng.integers(0, 240, (5, 12), dtype=np.int64)
+            subset, local = epoch_subset(images, idx, cap)
+            assert subset.shape == (cap,) + images.shape[1:]
+            assert local.shape == idx.shape and local.dtype == np.int32
+            # remapped gather must reproduce the original gather exactly
+            np.testing.assert_array_equal(subset[local], images[idx])
+
+    def test_cap_overflow_raises(self):
+        from fewshot_vit_tpu.data.staging import epoch_subset
+
+        images, _ = tiny_images(n=240)
+        idx = np.arange(100).reshape(4, 25)
+        with pytest.raises(ValueError, match="unique images"):
+            epoch_subset(images, idx, cap=50)
+
+
 class TestStagedTraining:
     def test_pretrain_epoch_over_chunks(self):
         """The unchanged jitted epoch program trains through staged chunks;
