@@ -77,6 +77,33 @@ class RunLogger:
             with open(os.path.join(self.save_dir, "log.txt"), "a") as f:
                 print(msg, file=f)
 
+    def visualize_dataset(self, dataset, name: str, n_samples: int = 16,
+                          seed: int = 0) -> Optional[str]:
+        """Save a sample-grid PNG of ``n_samples`` random dataset images
+        (reference ``utils.visualize_dataset``,
+        ``sun_train_teacher/utils/__init__.py:142-147`` — tensorboard images
+        become an on-disk grid). Returns the written path."""
+        if self.save_dir is None:
+            return None
+        import numpy as np
+        from PIL import Image
+
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(dataset), min(n_samples, len(dataset)),
+                         replace=False)
+        imgs = np.asarray(dataset.images[np.sort(idx)])
+        n = len(imgs)
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = int(np.ceil(n / cols))
+        h, w = imgs.shape[1:3]
+        grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+        for i, im in enumerate(imgs):
+            r, c = divmod(i, cols)
+            grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+        path = os.path.join(self.save_dir, f"visualize_{name}.png")
+        Image.fromarray(grid).save(path)
+        return path
+
     def metrics(self, step: int, **values: Any) -> None:
         if self.save_dir is None:
             return

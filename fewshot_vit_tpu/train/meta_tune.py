@@ -43,6 +43,9 @@ def main(cfg, args) -> TrainState:
     # optional second monitoring loader on the test split (reference 'tval',
     # meta_tuning_sun_m/train_meta_warmup.py:86-101)
     tval_ds = build_dataset(cfg, "tval_dataset")
+    from .runner import visualize_datasets
+    visualize_datasets(logger, cfg, train_dataset=train_ds, val_dataset=val_ds,
+                       tval_dataset=tval_ds)
 
     way = int(cfg.get("n_train_way", cfg.get("n_way", 5)))
     shot = int(cfg.get("n_train_shot", cfg.get("n_shot", 1)))

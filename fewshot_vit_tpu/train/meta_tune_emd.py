@@ -102,6 +102,8 @@ def main(cfg, args) -> TrainState:
 
     train_ds = build_dataset(cfg, "train_dataset")
     val_ds = build_dataset(cfg, "val_dataset") or train_ds
+    from .runner import visualize_datasets
+    visualize_datasets(logger, cfg, train_dataset=train_ds, val_dataset=val_ds)
 
     way = int(cfg.get("way", 5))
     shot = int(cfg.get("shot", 1))

@@ -42,6 +42,9 @@ def main(cfg, args) -> TrainState:
     train_ds = build_dataset(cfg, "train_dataset")
     val_ds = build_dataset(cfg, "val_dataset")
     fs_ds = build_dataset(cfg, "fs_dataset")
+    from .runner import visualize_datasets
+    visualize_datasets(logger, cfg, train_dataset=train_ds, val_dataset=val_ds,
+                       fs_dataset=fs_ds)
 
     n_classes = train_ds.n_classes
     model = models.make(

@@ -73,6 +73,16 @@ def build_dataset(cfg: Config, key: str) -> Optional[ArrayDataset]:
     return datasets.make(name, **dargs)
 
 
+def visualize_datasets(logger, cfg: Config, **named_datasets) -> None:
+    """``visualize_datasets: true`` -> one sample-grid PNG per split in the
+    run dir (reference flag of the same name in every phase config)."""
+    if not cfg.get("visualize_datasets"):
+        return
+    for name, ds in named_datasets.items():
+        if ds is not None:
+            logger.visualize_dataset(ds, name)
+
+
 def build_optimizer(cfg: Config, params: Any, steps_per_epoch: int, batch_size: int = 0):
     """Optimizer + schedule from a phase config (reference styles unified)."""
     name = cfg.get("optimizer", "sgd")

@@ -49,6 +49,8 @@ def main(cfg, args) -> TrainState:
 
     train_ds = build_dataset(cfg, "train_dataset")
     fs_ds = build_dataset(cfg, "fs_dataset")
+    from .runner import visualize_datasets
+    visualize_datasets(logger, cfg, train_dataset=train_ds, fs_dataset=fs_ds)
     n_classes = train_ds.n_classes
 
     def make_token_label():

@@ -109,6 +109,29 @@ class TestVisualize:
         assert mid[0, 1] > 200  # green center
 
 
+class TestDatasetGrid:
+    def test_sample_grid_png(self, tmp_path):
+        """visualize_datasets flag -> sample-grid PNG per split (reference
+        utils.visualize_dataset, sun_train_teacher/utils/__init__.py:142-147)."""
+        from fewshot_vit_tpu.core.log import RunLogger
+        from fewshot_vit_tpu.core import Config
+        from fewshot_vit_tpu.core.registry import datasets
+        import fewshot_vit_tpu.data.datasets  # noqa: F401
+        from fewshot_vit_tpu.train.runner import visualize_datasets
+        from PIL import Image
+
+        ds = datasets.make("synthetic", n_classes=5, n_per_class=5, image_size=16)
+        lg = RunLogger(str(tmp_path), stdout=False)
+        visualize_datasets(lg, Config({"visualize_datasets": True}),
+                           train_dataset=ds, val_dataset=None)
+        p = tmp_path / "visualize_train_dataset.png"
+        assert p.exists()
+        assert Image.open(p).size == (4 * 16, 4 * 16)  # 16 samples, 4x4 grid
+        # flag off -> nothing written
+        visualize_datasets(lg, Config({}), other=ds)
+        assert not (tmp_path / "visualize_other.png").exists()
+
+
 class TestFolderDatasets:
     def _make_tree(self, root, splits=("train",), n_cls=3, n_img=4, size=32):
         from PIL import Image
