@@ -109,14 +109,29 @@ def main(cfg, args) -> TrainState:
         images_dev = None
     else:
         images_dev = jax.device_put(train_ds.images)
+    sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
+    n_way, n_shot = int(cfg.get("n_way", 5)), int(cfg.get("n_shot", 1))
+    n_query = int(cfg.get("n_query", 15))
+    val_episodes = int(cfg.get("val_episodes", 200))
+
     # monitoring splits stay device-resident across epochs (the host->device
     # link here is slow; re-uploading a val split per epoch costs ~10s/100MB)
-    val_images_dev = images_dev if val_ds is train_ds and not stage \
-        else jax.device_put(val_ds.images)
-    tval_images_dev = jax.device_put(tval_ds.images) if tval_ds is not None else None
-    sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
+    val_indices = None
+    if val_ds is train_ds and stage:
+        # fixed-seed val episodes repeat every epoch — stage just their images
+        from ..data.staging import epoch_subset
+        from ..eval.episodic import sample_episode_indices
 
-    n_way, n_shot = int(cfg.get("n_way", 5)), int(cfg.get("n_shot", 1))
+        idx_val = sample_episode_indices(
+            val_ds, val_episodes, n_way, n_shot + n_query, ep_per_batch, seed=0)
+        subset, val_indices = epoch_subset(
+            val_ds.images, idx_val, len(np.unique(idx_val)))
+        val_images_dev = jax.device_put(subset)
+    elif val_ds is train_ds and not stage:
+        val_images_dev = images_dev
+    else:
+        val_images_dev = jax.device_put(val_ds.images)
+    tval_images_dev = jax.device_put(tval_ds.images) if tval_ds is not None else None
     policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
     root = rng_mod.root_key(args.seed)
 
@@ -155,9 +170,9 @@ def main(cfg, args) -> TrainState:
         # fixed-seed episodic val (reference seeds val draws with 0)
         acc, ci, _ = evaluate(
             head, state.variables, val_ds,
-            n_episodes=int(cfg.get("val_episodes", 200)), way=n_way, shot=n_shot,
-            query=int(cfg.get("n_query", 15)),
+            n_episodes=val_episodes, way=n_way, shot=n_shot, query=n_query,
             ep_per_batch=ep_per_batch, seed=0, images_dev=val_images_dev,
+            indices=val_indices,
         )
         line += f" | val {n_way}w{n_shot}s acc={acc:.4f} +- {ci:.4f}"
         extra = {}
