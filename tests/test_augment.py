@@ -110,6 +110,78 @@ class TestGeometry:
         np.testing.assert_allclose(out[0, :, :-8], u8[0, :, 8:].astype(np.float32), atol=1e-3)
         np.testing.assert_allclose(out[1], u8[1].astype(np.float32), atol=1e-3)
 
+    def test_shear_translate_match_reference_bilinear(self):
+        """Fractional shears/translates vs an independent numpy mirror of the
+        centered inverse-map bilinear resample (the PIL affine semantics the
+        reference's timm pipeline uses). Anchors the row-DMA implementation."""
+        fill = np.array([124.0, 116.0, 104.0], np.float32)
+
+        def np_affine(img, inv):
+            h, w = img.shape[:2]
+            out = np.zeros((h, w, 3), np.float32)
+            for i in range(h):
+                for j in range(w):
+                    gx, gy = j - (w - 1) / 2, i - (h - 1) / 2
+                    sx = inv[0][0] * gx + inv[0][1] * gy + inv[0][2] + (w - 1) / 2
+                    sy = inv[1][0] * gx + inv[1][1] * gy + inv[1][2] + (h - 1) / 2
+                    x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+                    dx, dy = sx - x0, sy - y0
+                    acc = np.zeros(3, np.float32)
+                    for yy, wy in ((y0, 1 - dy), (y0 + 1, dy)):
+                        for xx, wx in ((x0, 1 - dx), (x0 + 1, dx)):
+                            v = img[yy, xx] if (0 <= yy < h and 0 <= xx < w) else fill
+                            acc += np.float32(wy * wx) * v
+                    out[i, j] = acc
+            return out
+
+        u8 = rand_img(17, n=1, size=16)
+        img = u8[0].astype(np.float32)
+        got = np.asarray(A.shear(as_f32(u8), jnp.array([0.23]), jnp.zeros(1)))[0]
+        want = np_affine(img, [[1.0, 0.23, 0.0], [0.0, 1.0, 0.0]])
+        assert np.abs(got - want).max() <= 1e-2
+        got = np.asarray(A.shear(as_f32(u8), jnp.zeros(1), jnp.array([-0.17])))[0]
+        want = np_affine(img, [[1.0, 0.0, 0.0], [-0.17, 1.0, 0.0]])
+        assert np.abs(got - want).max() <= 1e-2
+        got = np.asarray(A.translate(as_f32(u8), jnp.array([0.13]), jnp.zeros(1)))[0]
+        want = np_affine(img, [[1.0, 0.0, 0.13 * 16], [0.0, 1.0, 0.0]])
+        assert np.abs(got - want).max() <= 1e-2
+        got = np.asarray(A.translate(as_f32(u8), jnp.zeros(1), jnp.array([-0.29])))[0]
+        want = np_affine(img, [[1.0, 0.0, 0.0], [0.0, 1.0, -0.29 * 16]])
+        assert np.abs(got - want).max() <= 1e-2
+
+    def test_rotate_small_angle_vs_reference(self):
+        """Paeth 3-shear rotation vs the direct 2-D bilinear resample on a
+        smooth gradient image: interior agreement within interpolation slack."""
+        h = w = 33
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([yy * 3, xx * 3, (yy + xx) * 1.5], -1)
+        rad = np.deg2rad(-17.0)  # inverse map of +17 deg
+        c, s = np.cos(rad), np.sin(rad)
+        got = np.asarray(A.rotate(jnp.asarray(img[None]), jnp.array([17.0])))[0]
+
+        def np_rot(img, inv):
+            out = np.zeros_like(img)
+            fill = np.array([124.0, 116.0, 104.0], np.float32)
+            for i in range(h):
+                for j in range(w):
+                    gx, gy = j - (w - 1) / 2, i - (h - 1) / 2
+                    sx = inv[0][0] * gx + inv[0][1] * gy + (w - 1) / 2
+                    sy = inv[1][0] * gx + inv[1][1] * gy + (h - 1) / 2
+                    x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+                    dx, dy = sx - x0, sy - y0
+                    acc = np.zeros(3, np.float32)
+                    for yv, wy in ((y0, 1 - dy), (y0 + 1, dy)):
+                        for xv, wx in ((x0, 1 - dx), (x0 + 1, dx)):
+                            v = img[yv, xv] if (0 <= yv < h and 0 <= xv < w) else fill
+                            acc += np.float32(wy * wx) * v
+                    out[i, j] = acc
+            return out
+
+        want = np_rot(img, [[c, -s], [s, c]])
+        # compare away from the fill boundary (different pass-wise fill blending)
+        m = slice(8, -8)
+        assert np.abs(got[m, m] - want[m, m]).max() <= 1.0
+
     def test_rrc_shape_and_range(self):
         u8 = rand_img(12, n=8, size=84)
         out = np.asarray(A.random_resized_crop(jax.random.key(0), jnp.asarray(u8), 80))

@@ -1,0 +1,105 @@
+"""Training-step throughput probe (phase-1 CE and phase-2 SUN steps).
+
+Measures steady-state per-step time on the real TPU at batch 512,
+visformer_micro_80, as the mean over a 10-step ``lax.scan`` program —
+mirroring the framework's one-program-per-epoch design. (A bare
+step-per-launch measurement is meaningless on this box: the axon relay
+charges ~10-20 ms per argument buffer per launch, so a 127-leaf variables
+pytree adds ~1.5 s/launch; the epoch-scan programs pass weights once.)
+
+Run: python tools/train_probe.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fewshot_vit_tpu.core import models
+    from fewshot_vit_tpu.core.rng import enable_compilation_cache
+    import fewshot_vit_tpu.models  # noqa: F401
+    import fewshot_vit_tpu.heads  # noqa: F401
+    from fewshot_vit_tpu.data.augment import make_cropaug_fn, make_dual_view_fn
+    from fewshot_vit_tpu.train.state import TrainState
+    from fewshot_vit_tpu.train.steps import make_pretrain_step, make_sun_step
+
+    enable_compilation_cache()
+    B, n_classes, N_STEPS = 512, 64, 10
+    rng_np = np.random.default_rng(0)
+    img84 = jax.device_put(rng_np.integers(0, 256, (B, 84, 84, 3), dtype=np.uint8))
+    img80 = jax.device_put(rng_np.integers(0, 256, (B, 80, 80, 3), dtype=np.uint8))
+    labels = jax.device_put(
+        rng_np.integers(0, n_classes, (B,), dtype=np.int64).astype(np.int32))
+    tx = optax.adamw(1e-3)
+
+    def time_scan(step, state, images, extra=()):
+        """Scan N_STEPS of `step(state, *extra, images, labels, rng)` in ONE
+        jitted program; report mean per-step time (double-warm, fetch-forced)."""
+        keys = jax.random.split(jax.random.key(0), N_STEPS)
+
+        @jax.jit
+        def epoch(state, images, labels, keys, *extra):
+            def body(s, k):
+                s, m = step(s, *extra, images, labels, k)
+                return s, m["loss"]
+            s, losses = jax.lax.scan(body, state, keys)
+            return s, losses[-1]
+
+        s, loss = epoch(state, images, labels, keys, *extra)
+        np.asarray(loss)
+        s, loss = epoch(s, images, labels, keys, *extra)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        s, loss = epoch(s, images, labels, keys, *extra)
+        np.asarray(loss)
+        return (time.perf_counter() - t0) / N_STEPS
+
+    def pretrain_state():
+        model = models.make("classifier", encoder="visformer_micro_80",
+                            classifier_args={"n_classes": n_classes})
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = model.init(jax.random.key(0), jnp.zeros((1, 80, 80, 3)))
+        variables = jax.device_put(variables)
+        return model, TrainState.create(variables, tx)
+
+    model, state = pretrain_state()
+    step = make_pretrain_step(model, tx, jit=False)
+    t = time_scan(step, state, img80)
+    print(f"pretrain plain     : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+
+    model, state = pretrain_state()
+    step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
+    t = time_scan(step, state, img84)
+    print(f"pretrain cropaug   : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+
+    # phase-2 SUN: student token-label + frozen teacher, device dual-view
+    student = models.make("token-label", encoder="visformer_micro_80",
+                          classifier_args={"n_classes": n_classes})
+    with jax.default_device(jax.devices("cpu")[0]):
+        sv = student.init(jax.random.key(1), jnp.zeros((1, 80, 80, 3)))
+    sv = jax.device_put(sv)
+    state = TrainState.create(sv, tx)
+    tvars = {"params": sv["params"]}
+    if sv.get("batch_stats"):
+        tvars["batch_stats"] = sv["batch_stats"]
+    sun = make_sun_step(student, student, tx, dual_view_fn=make_dual_view_fn(),
+                        jit=False)
+
+    def sun_step(s, tv, images, labels, k):
+        return sun(s, tv, images, images, labels, k)
+
+    t = time_scan(sun_step, state, img84, extra=(tvars,))
+    print(f"sun dual-view      : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
