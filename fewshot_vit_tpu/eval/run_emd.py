@@ -34,6 +34,8 @@ def main():
     p.add_argument("--shot", type=int, default=None)
     p.add_argument("--episodes", type=int, default=None)
     p.add_argument("--ep-per-batch", type=int, default=4)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 encoder compute (EMD math stays fp32)")
     args = p.parse_args()
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
@@ -57,6 +59,7 @@ def main():
         solver_iters=int(cfg.get("solver_iters", 100)),
         solver=cfg.get("solver", "opencv"),
         feature_pyramid=cfg.get("feature_pyramid"),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     with jax.default_device(jax.devices("cpu")[0]):
         variables = head.init(jax.random.key(rng_mod.DEFAULT_SEED),

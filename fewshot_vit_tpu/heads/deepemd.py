@@ -85,7 +85,12 @@ def emd_logits(
 
     ``solver_impl='pallas'`` dispatches the Sinkhorn inner loop to the fused
     VMEM-resident kernel (``kernels/sinkhorn.py``; identical math, flows
-    stop-gradient)."""
+    stop-gradient).
+
+    The OT math always runs fp32: log-domain Sinkhorn iterations are not
+    bf16-stable, so bf16 encoders (``--bf16`` eval) hand off here."""
+    proto = proto.astype(jnp.float32)
+    query = query.astype(jnp.float32)
     w_query = weight_vector(query, proto)  # (..., Q, way, N) row marginals
     w_proto = weight_vector(proto, query)  # (..., way, Q, N) col marginals
     w_proto = jnp.swapaxes(w_proto, -2, -3)  # (..., Q, way, N)
