@@ -27,7 +27,7 @@ worker processes per loader on this; here it rides the VPU).
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +54,8 @@ def _blend(a: jax.Array, b: jax.Array, factor: jax.Array) -> jax.Array:
 # --- geometric ----------------------------------------------------------------
 
 
-def _row_shift_bilinear(x: jax.Array, t: jax.Array) -> jax.Array:
+def _row_shift_bilinear(x: jax.Array, t: jax.Array,
+                        max_shift: Optional[float] = None) -> jax.Array:
     """1-D bilinear resample of every row: ``out[b,h,j] = x[b,h, j + t[b,h]]``.
 
     The TPU-native core of the affine ops. A generic 2-D gather serializes on
@@ -65,25 +66,30 @@ def _row_shift_bilinear(x: jax.Array, t: jax.Array) -> jax.Array:
     MXU's bf16 operand format) and the image rides in as a hi+lo bf16 split,
     so the fp32 result is exact to ~2^-18 * 255 ~= 1e-3 gray levels. The two
     bilinear taps are one matmul over channel-stacked shifted copies.
-    Out-of-bounds pixels take the timm fill color. ``t`` is clipped to
-    +-(W-1): shifts that large produce an (almost) all-fill image either way.
+    Out-of-bounds pixels take the timm fill color.
+
+    ``max_shift`` (static) bounds |t| and sets the fill-pad width — callers
+    that know their shift range (all the RandAugment ops do) shrink the
+    selection matrix, the dominant HBM transient, by 2-3x. Default pads the
+    full W-1: shifts that large produce an (almost) all-fill image anyway.
     """
     b, h, w, c = x.shape
+    pad = w if max_shift is None else min(int(math.ceil(max_shift)) + 1, w)
     x = x.astype(jnp.float32)
-    fill = jnp.broadcast_to(_FILL, (b, h, w, c))
-    xp = jnp.concatenate([fill, x, fill], axis=2)  # (B, H, 3W, C)
-    t = jnp.clip(t, -(w - 1.0), w - 1.0)
+    fill = jnp.broadcast_to(_FILL, (b, h, pad, c)).astype(jnp.float32)
+    xp = jnp.concatenate([fill, x, fill], axis=2)  # (B, H, W+2*pad, C)
+    t = jnp.clip(t, -(pad - 1.0), pad - 1.0)
     k = jnp.floor(t)
     f = (t - k)[..., None, None]
-    start = k.astype(jnp.int32) + w  # in [1, 2W-1]; start + W <= 3W - 1
+    start = k.astype(jnp.int32) + pad  # in [1, 2*pad-1]; start + W <= W+2*pad-1
 
     # P[b,h,j,s] = [s == start + j] — the integer-shift selection matrix
-    cols = jnp.arange(3 * w, dtype=jnp.int32)
+    cols = jnp.arange(w + 2 * pad, dtype=jnp.int32)
     rows_j = jnp.arange(w, dtype=jnp.int32)
     P = ((start[..., None, None] + rows_j[:, None]) == cols).astype(jnp.bfloat16)
 
     # channel-stack: [hi(x), lo(x), hi(x>>1), lo(x>>1)] so one matmul yields
-    # both taps; xp1[s] = xp[s+1] (tap start+j+1 <= 3W-2, pad never selected)
+    # both taps; xp1[s] = xp[s+1] (tap start+j+1 <= W+2*pad-2, dup never hit)
     xp1 = jnp.concatenate([xp[:, :, 1:], xp[:, :, -1:]], axis=2)
     hi = xp.astype(jnp.bfloat16)
     lo = (xp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -98,9 +104,11 @@ def _row_shift_bilinear(x: jax.Array, t: jax.Array) -> jax.Array:
     return (1.0 - f) * g0 + f * g1
 
 
-def _col_shift_bilinear(x: jax.Array, t: jax.Array) -> jax.Array:
+def _col_shift_bilinear(x: jax.Array, t: jax.Array,
+                        max_shift: Optional[float] = None) -> jax.Array:
     """Column counterpart of `_row_shift_bilinear`: ``out[b,i,j] = x[b, i + t[b,j], j]``."""
-    return jnp.swapaxes(_row_shift_bilinear(jnp.swapaxes(x, 1, 2), t), 1, 2)
+    return jnp.swapaxes(
+        _row_shift_bilinear(jnp.swapaxes(x, 1, 2), t, max_shift), 1, 2)
 
 
 def _centered(n: int) -> jax.Array:
@@ -135,28 +143,39 @@ def rotate(x: jax.Array, degrees: jax.Array) -> jax.Array:
     alpha = jnp.tan(r / 2.0)
     beta = -jnp.sin(r)
     ys, xs = _centered(h), _centered(w)
-    out = _row_shift_bilinear(out, alpha[:, None] * ys[None, :])
-    out = _col_shift_bilinear(out, beta[:, None] * xs[None, :])
-    out = _row_shift_bilinear(out, alpha[:, None] * ys[None, :])
+    # static shift bounds at |r| = 45 deg: tan(22.5)*(h-1)/2 and sin(45)*(w-1)/2
+    ms_a = 0.4143 * (h - 1) / 2.0
+    ms_b = 0.7072 * (w - 1) / 2.0
+    out = _row_shift_bilinear(out, alpha[:, None] * ys[None, :], ms_a)
+    out = _col_shift_bilinear(out, beta[:, None] * xs[None, :], ms_b)
+    out = _row_shift_bilinear(out, alpha[:, None] * ys[None, :], ms_a)
     return out
 
 
-def shear(x: jax.Array, fx: jax.Array, fy: jax.Array) -> jax.Array:
+def shear(x: jax.Array, fx: jax.Array, fy: jax.Array,
+          max_factor: float = 0.31) -> jax.Array:
     """PIL affine shear (centered). Applied as an x-pass then a y-pass; for
     single-axis shears — the only form RandAugment uses — this equals the
-    joint 2-D bilinear resample exactly (the bilinear kernel is separable)."""
+    joint 2-D bilinear resample exactly (the bilinear kernel is separable).
+    ``max_factor`` (static) bounds |fx|,|fy|; RandAugment's ceiling is 0.3."""
     h, w = x.shape[1], x.shape[2]
-    out = _row_shift_bilinear(x, fx[:, None] * _centered(h)[None, :])
-    return _col_shift_bilinear(out, fy[:, None] * _centered(w)[None, :])
+    out = _row_shift_bilinear(x, fx[:, None] * _centered(h)[None, :],
+                              max_factor * (h - 1) / 2.0)
+    return _col_shift_bilinear(out, fy[:, None] * _centered(w)[None, :],
+                               max_factor * (w - 1) / 2.0)
 
 
-def translate(x: jax.Array, tx: jax.Array, ty: jax.Array) -> jax.Array:
+def translate(x: jax.Array, tx: jax.Array, ty: jax.Array,
+              max_frac: float = 0.46) -> jax.Array:
     """Relative translation (fraction of size), per-image. Separable x/y
     passes — exactly the 2-D bilinear resample (separable kernel, uniform
-    shift)."""
+    shift). ``max_frac`` (static) bounds |tx|,|ty|; RandAugment's ceiling is
+    0.45."""
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
-    out = _row_shift_bilinear(x, jnp.broadcast_to((tx * w)[:, None], (b, h)))
-    return _col_shift_bilinear(out, jnp.broadcast_to((ty * h)[:, None], (b, w)))
+    out = _row_shift_bilinear(x, jnp.broadcast_to((tx * w)[:, None], (b, h)),
+                              max_frac * w)
+    return _col_shift_bilinear(out, jnp.broadcast_to((ty * h)[:, None], (b, w)),
+                               max_frac * h)
 
 
 def random_resized_crop(

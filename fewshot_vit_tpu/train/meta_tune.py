@@ -28,6 +28,7 @@ from .runner import (
     build_dataset,
     build_optimizer,
     load_encoder_from_checkpoint,
+    model_dtype,
     parse_args,
     save_dir_for,
 )
@@ -60,6 +61,7 @@ def main(cfg, args) -> TrainState:
         encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
         temp=float(cfg.get("model_args.temp", 10.0)),
         temp_learnable=bool(cfg.get("model_args.temp_learnable", True)),
+        dtype=model_dtype(cfg),
     )
     img = train_ds.images.shape[1]
     xs0 = jnp.zeros((1, way, shot, img, img, 3), jnp.float32)

@@ -37,7 +37,7 @@ from ..heads.deepemd import sfc_refine
 from ..ops.metric import mean_confidence_interval
 from .loop import metrics_mean
 from .optim import multistep_schedule, zero_nan_grads
-from .runner import build_dataset, load_encoder_from_checkpoint, parse_args, save_dir_for
+from .runner import build_dataset, load_encoder_from_checkpoint, model_dtype, parse_args, save_dir_for
 from .state import TrainState
 from ..eval.episodic import sub_variables
 
@@ -121,6 +121,7 @@ def main(cfg, args) -> TrainState:
         solver_iters=int(cfg.get("solver_iters", 100)),
         solver=cfg.get("solver", "opencv"),
         feature_pyramid=cfg.get("feature_pyramid"),
+        dtype=model_dtype(cfg),
     )
     with jax.default_device(jax.devices("cpu")[0]):
         variables = head.init(jax.random.key(args.seed), jnp.zeros((1, img, img, 3)))

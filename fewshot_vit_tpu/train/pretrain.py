@@ -28,6 +28,7 @@ from .runner import (
     build_dataset,
     build_optimizer,
     fs_eval,
+    model_dtype,
     parse_args,
     profile_epoch,
     save_dir_for,
@@ -53,6 +54,7 @@ def main(cfg, args) -> TrainState:
         encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
         classifier=cfg.get("model_args.classifier", "linear-classifier"),
         classifier_args={"n_classes": n_classes},
+        dtype=model_dtype(cfg),
     )
 
     batch_size = int(cfg.get("batch_size", 512))

@@ -65,6 +65,28 @@ def save_dir_for(cfg: Config, args: argparse.Namespace, default_name: str) -> st
     return path
 
 
+_DTYPE_NAMES = {
+    "float32": jnp.float32, "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+}
+
+
+def model_dtype(cfg: Config):
+    """Compute dtype for the model from ``model_args.dtype``.
+
+    ``bfloat16`` gives mixed-precision training the TPU way: parameters and
+    optimizer state stay fp32 (flax param dtype), activations and matmuls run
+    bfloat16 on the MXU, and every loss is computed in fp32 (the steps cast
+    logits up before the cross-entropy)."""
+    name = str(cfg.get("model_args.dtype", "float32")).lower()
+    try:
+        return _DTYPE_NAMES[name]
+    except KeyError:
+        raise ValueError(
+            f"model_args.dtype={name!r}: expected one of {sorted(_DTYPE_NAMES)}"
+        ) from None
+
+
 def build_dataset(cfg: Config, key: str) -> Optional[ArrayDataset]:
     name = cfg.get(key)
     if name is None:

@@ -25,7 +25,7 @@ from ..data import datasets as _datasets  # noqa: F401
 from ..checkpoint import CheckpointPolicy, load_variables
 from ..eval.episodic import sub_variables
 from .loop import batch_indices, make_sun_epoch, metrics_mean
-from .runner import build_dataset, build_optimizer, fs_eval, parse_args, save_dir_for
+from .runner import build_dataset, build_optimizer, fs_eval, model_dtype, parse_args, save_dir_for
 from .state import TrainState
 
 
@@ -59,6 +59,7 @@ def main(cfg, args) -> TrainState:
             encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
             encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
             classifier_args={"n_classes": n_classes},
+            dtype=model_dtype(cfg),
         )
 
     student = make_token_label()

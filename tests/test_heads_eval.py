@@ -26,10 +26,11 @@ class TinyEncoder(nn.Module):
     """Minimal (dense, pooled) encoder for fast tests."""
 
     dim: int = 16
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(self.dim, (3, 3), strides=4, name="conv")(x)
+        x = nn.Conv(self.dim, (3, 3), strides=4, dtype=self.dtype, name="conv")(x)
         x = nn.avg_pool(x, (2, 2), (2, 2))
         return x, jnp.mean(x, axis=(1, 2))
 

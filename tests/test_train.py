@@ -72,6 +72,39 @@ class TestPretrainStep:
         assert last < first * 0.5
         assert int(state.step) == 30
 
+    def test_bf16_mixed_precision(self):
+        """model_args.dtype=bfloat16: activations run bf16, params/optimizer
+        state stay fp32, the loss is finite fp32, and training still learns."""
+        from fewshot_vit_tpu.train.runner import model_dtype
+        from fewshot_vit_tpu.core.config import Config
+
+        assert model_dtype(Config({"model_args": {"dtype": "bf16"}})) == jnp.bfloat16
+        assert model_dtype(Config({})) == jnp.float32
+        with pytest.raises(ValueError):
+            model_dtype(Config({"model_args": {"dtype": "fp16"}}))
+
+        model = Classifier(
+            encoder=TinyEncoder(dtype=jnp.bfloat16),
+            classifier=LinearClassifier(6, dtype=jnp.bfloat16, name="classifier"),
+        )
+        images, labels = small_batch()
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        for leaf in jax.tree_util.tree_leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32  # flax: param dtype stays fp32
+        tx = make_optimizer(variables["params"], "adamw", lr=5e-3, weight_decay=0.01)
+        state = TrainState.create(variables, tx)
+        step = make_pretrain_step(model, tx)
+        first = last = None
+        for i in range(30):
+            state, m = step(state, images, labels, jax.random.key(i))
+            if first is None:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert m["loss"].dtype == jnp.float32
+        assert np.isfinite(last) and last < first * 0.7
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+
 
 class TestEmdFsEval:
     def test_emd_validation_hook(self):

@@ -63,9 +63,11 @@ def main():
         np.asarray(loss)
         return (time.perf_counter() - t0) / N_STEPS
 
-    def pretrain_state():
+    def pretrain_state(dtype=None):
+        import jax.numpy as _jnp
         model = models.make("classifier", encoder="visformer_micro_80",
-                            classifier_args={"n_classes": n_classes})
+                            classifier_args={"n_classes": n_classes},
+                            **({"dtype": dtype} if dtype else {}))
         with jax.default_device(jax.devices("cpu")[0]):
             variables = model.init(jax.random.key(0), jnp.zeros((1, 80, 80, 3)))
         variables = jax.device_put(variables)
@@ -80,6 +82,11 @@ def main():
     step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
     t = time_scan(step, state, img84)
     print(f"pretrain cropaug   : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+
+    model, state = pretrain_state(dtype=jnp.bfloat16)
+    step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
+    t = time_scan(step, state, img84)
+    print(f"pretrain cropaug bf16: {t*1e3:5.1f} ms/step  {B/t:7.0f} img/s", flush=True)
 
     # phase-2 SUN: student token-label + frozen teacher, device dual-view
     student = models.make("token-label", encoder="visformer_micro_80",
