@@ -82,6 +82,29 @@ def main(cfg, args) -> TrainState:
     tx = build_optimizer(cfg, variables["params"], train_batches)
     state = TrainState.create(variables, tx)
 
+    mesh_cfg = cfg.get("mesh")
+    idx_shard = None
+    data_shard = None
+    if mesh_cfg:
+        # multi-chip meta-tuning: episodes shard on `data` (the flat episode
+        # batch axis reshapes to (E, way, shot+query) keeping E sharded), wide
+        # kernels optionally tensor-parallel — same recipe as pretrain/sun.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh, param_shardings, replicated
+
+        mesh = make_mesh({k: int(v) for k, v in dict(mesh_cfg).items()})
+        logger.log(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+        pshard = param_shardings(mesh, state.params)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, pshard)
+        new_vars = {"params": params}
+        if state.batch_stats:
+            new_vars["batch_stats"] = jax.device_put(
+                state.batch_stats, replicated(mesh))
+        state = TrainState.create(new_vars, tx)
+        data_shard = replicated(mesh)
+        idx_shard = NamedSharding(mesh, P(None, "data"))  # (steps, E*way*(s+q))
+
     epoch_fn = make_meta_tune_epoch(
         head, tx, way, shot, query, ep_per_batch,
         freeze_bn=bool(cfg.get("freeze_bn", False)),
@@ -110,7 +133,7 @@ def main(cfg, args) -> TrainState:
                    f"staging <= {epoch_cap} images/epoch")
         images_dev = None
     else:
-        images_dev = jax.device_put(train_ds.images)
+        images_dev = jax.device_put(train_ds.images, data_shard)
     sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
     n_way, n_shot = int(cfg.get("n_way", 5)), int(cfg.get("n_shot", 1))
     n_query = int(cfg.get("n_query", 15))
@@ -158,13 +181,19 @@ def main(cfg, args) -> TrainState:
             from ..data.staging import epoch_subset
 
             imgs_epoch, idx_local = epoch_subset(train_ds.images, idx, epoch_cap)
-            imgs_dev_e = jax.device_put(imgs_epoch)
-            state, ms = epoch_fn(state, imgs_dev_e, jnp.asarray(idx_local),
+            imgs_dev_e = jax.device_put(imgs_epoch, data_shard)
+            idx_local = jnp.asarray(idx_local)
+            if idx_shard is not None:
+                idx_local = jax.device_put(idx_local, idx_shard)
+            state, ms = epoch_fn(state, imgs_dev_e, idx_local,
                                  rng_mod.epoch_key(root, epoch))
             m = metrics_mean(ms)  # fetch completes the epoch...
             imgs_dev_e.delete()  # ...so the subset can be freed pre-val
         else:
-            state, ms = epoch_fn(state, images_dev, jnp.asarray(idx),
+            idx_dev = jnp.asarray(idx)
+            if idx_shard is not None:
+                idx_dev = jax.device_put(idx_dev, idx_shard)
+            state, ms = epoch_fn(state, images_dev, idx_dev,
                                  rng_mod.epoch_key(root, epoch))
             m = metrics_mean(ms)
         line = f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f}"

@@ -89,6 +89,30 @@ def main(cfg, args) -> TrainState:
     # its own copies to keep donation sound.
     tv = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), tv)
 
+    mesh_cfg = cfg.get("mesh")
+    batch_shard = None
+    data_shard = None
+    if mesh_cfg:
+        # multi-chip SUN: dp over the batch axis, optional tp on wide kernels;
+        # the frozen teacher replicates (forward-only). Same semantics as the
+        # single-chip program — BN stats become exact global-batch stats.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh, param_shardings, replicated
+
+        mesh = make_mesh({k: int(v) for k, v in dict(mesh_cfg).items()})
+        logger.log(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+        pshard = param_shardings(mesh, state.params)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, pshard)
+        state = TrainState.create(
+            {"params": params,
+             "batch_stats": jax.device_put(state.batch_stats, replicated(mesh))},
+            tx,
+        )
+        tv = jax.device_put(tv, replicated(mesh))
+        data_shard = replicated(mesh)
+        batch_shard = NamedSharding(mesh, P(None, "data"))  # idx (steps, batch)
+
     dual_view_fn = None
     if cfg.get("augment", "dual") == "dual":
         # location-aware weak/strong views on device (reference dual-view set)
@@ -107,8 +131,8 @@ def main(cfg, args) -> TrainState:
         bg_tokens=int(cfg.get("bg_token_num", 10)),
         token_weight=float(cfg.get("token_label_weight", 0.5)),
     )
-    images_dev = jax.device_put(train_ds.images)
-    labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
+    images_dev = jax.device_put(train_ds.images, data_shard)
+    labels_dev = jax.device_put(train_ds.labels.astype(np.int32), data_shard)
 
     policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
     root = rng_mod.root_key(args.seed)
@@ -130,8 +154,11 @@ def main(cfg, args) -> TrainState:
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         idx = batch_indices(len(train_ds), batch_size, rng_mod.np_rng(args.seed, epoch))
+        idx = jnp.asarray(idx)
+        if batch_shard is not None:
+            idx = jax.device_put(idx, batch_shard)
         state, ms = epoch_fn(
-            state, tv, images_dev, labels_dev, jnp.asarray(idx),
+            state, tv, images_dev, labels_dev, idx,
             rng_mod.epoch_key(root, epoch),
         )
         m = metrics_mean(ms)

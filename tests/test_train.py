@@ -272,3 +272,63 @@ class TestShardedStep:
         # params keep their tensor sharding through the update
         qkv = new_state.params["encoder"]["stage2_0"]["attn"]["qkv"]["kernel"]
         assert "model" in str(qkv.sharding.spec)
+
+    def test_sun_epoch_program_on_mesh(self, devices8):
+        """The SUN EPOCH program (scan of steps) under the `mesh:` config
+        wiring of train/sun.py: dp-sharded batches, replicated frozen teacher,
+        idx sharded on its batch axis — mirrors the CLI exactly."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fewshot_vit_tpu.train.loop import batch_indices, make_sun_epoch, metrics_mean
+
+        mesh = make_mesh({"data": 8}, devices8)
+        student = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        teacher = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        images, labels = small_batch(n=64, img=16)
+        sv = student.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tv = teacher.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(sv["params"], "adamw", lr=1e-3)
+        state = TrainState.create(sv, tx)
+        state = jax.device_put(state, replicated(mesh))
+        tv = jax.device_put(tv, replicated(mesh))
+        images = jax.device_put(images, replicated(mesh))
+        labels = jax.device_put(labels, replicated(mesh))
+        epoch_fn = make_sun_epoch(student, teacher, tx, soft_k=2, bg_tokens=1)
+
+        idx = batch_indices(64, 16, np.random.default_rng(0))  # (4, 16)
+        idx = jax.device_put(jnp.asarray(idx), NamedSharding(mesh, P(None, "data")))
+        state, ms = epoch_fn(state, tv, images, labels, idx, jax.random.key(2))
+        m = metrics_mean(ms)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["token_loss"])
+        assert int(state.step) == 4
+
+    def test_meta_tune_epoch_program_on_mesh(self, devices8):
+        """The meta-tune EPOCH program under the `mesh:` wiring of
+        train/meta_tune.py: episode-batch idx sharded on its flat axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fewshot_vit_tpu.heads import MetaBaseline
+        from fewshot_vit_tpu.train.loop import make_meta_tune_epoch, metrics_mean
+
+        mesh = make_mesh({"data": 8}, devices8)
+        way, shot, query, epb = 4, 1, 3, 8
+        head = MetaBaseline(encoder=TinyEncoder())
+        images, labels = small_batch(n=120, img=16, n_classes=6)
+        xs0 = jnp.zeros((1, way, shot, 16, 16, 3))
+        xq0 = jnp.zeros((1, way * query, 16, 16, 3))
+        variables = head.init(jax.random.key(0), xs0, xq0)
+        tx = make_optimizer(variables["params"], "sgd", lr=1e-2)
+        state = jax.device_put(TrainState.create(variables, tx), replicated(mesh))
+        images = jax.device_put(images, replicated(mesh))
+
+        from fewshot_vit_tpu.data.sampler import EpisodeSampler
+
+        labels_np = np.asarray(labels)
+        sampler = EpisodeSampler(labels_np, 3, way, shot + query, epb)
+        idx = np.stack(list(sampler.epoch(np.random.default_rng(0)))).astype(np.int32)
+        idx = jax.device_put(jnp.asarray(idx), NamedSharding(mesh, P(None, "data")))
+        epoch_fn = make_meta_tune_epoch(head, tx, way, shot, query, epb)
+        state, ms = epoch_fn(state, images, idx, jax.random.key(3))
+        m = metrics_mean(ms)
+        assert np.isfinite(m["loss"])
+        assert int(state.step) == 3
