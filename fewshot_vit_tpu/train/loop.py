@@ -24,16 +24,23 @@ from . import steps as steps_mod
 
 
 def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
-                        sam_rho=None, sam_adaptive=False) -> Callable:
+                        sam_rho=None, sam_adaptive=False,
+                        ema_decay=None) -> Callable:
     """jit: (state, images (N,H,W,3) u8, labels (N,), idx (S,B), rng) ->
     (state, metrics dict of (S,) arrays).
 
     ``sam_rho`` switches the per-step update to Sharpness-Aware Minimization
-    (two fwd-bwd passes; reference ``sun_meta_training/sam.py:4-62``)."""
+    (two fwd-bwd passes; reference ``sun_meta_training/sam.py:4-62``).
+    ``ema_decay`` maintains an EMA shadow of the params in
+    ``state.ema_params`` (reference ``ModelEma``; the state must be created
+    with ``TrainState.create(..., ema=True)``)."""
     kw = {}
     if mean is not None:
         kw = {"mean": mean, "std": std}
+
     if sam_rho:
+        if ema_decay:
+            raise ValueError("ema_decay is not supported with the SAM step")
         from .sam import make_sam_pretrain_step
 
         step = make_sam_pretrain_step(
@@ -41,7 +48,9 @@ def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
             preprocess_fn=preprocess_fn, jit=False, **kw,
         )
     else:
-        step = steps_mod.make_pretrain_step(model, tx, preprocess_fn=preprocess_fn, jit=False, **kw)
+        step = steps_mod.make_pretrain_step(
+            model, tx, preprocess_fn=preprocess_fn, jit=False,
+            ema_decay=float(ema_decay) if ema_decay else None, **kw)
 
     def epoch(state, images, labels, idx, rng):
         def body(state, scan_in):

@@ -67,7 +67,11 @@ def main(cfg, args) -> TrainState:
         jax.random.key(args.seed), jnp.zeros((1, img, img, 3), jnp.float32)
     )
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch, batch_size)
-    state = TrainState.create(variables, tx)
+    # reference ModelEma (utils/__init__.py:174-196; commented out of use in
+    # offline.py) — opt-in: `ema_decay: 0.9997` keeps an EMA shadow of the
+    # params in the train state (saved/restored with it)
+    ema_decay = float(cfg.get("ema_decay", 0) or 0)
+    state = TrainState.create(variables, tx, ema=bool(ema_decay))
 
     from ..data.staging import DEFAULT_HBM_BUDGET_GB, EpochStager, needs_staging
 
@@ -116,7 +120,7 @@ def main(cfg, args) -> TrainState:
         logger.log(f"SAM pretraining: {sam_kw}")
     epoch_fn = make_pretrain_epoch(
         model, tx, preprocess_fn=preprocess_fn, mean=train_ds.mean, std=train_ds.std,
-        **sam_kw,
+        ema_decay=ema_decay or None, **sam_kw,
     )
     stager = None
     if stage:

@@ -27,7 +27,10 @@ class TrainState(struct.PyTreeNode):
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
-            ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+            # real copies: the epoch programs donate the state, and aliased
+            # params/ema buffers would be donated twice
+            ema_params=(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+                        if ema else None),
         )
 
     @property

@@ -72,6 +72,27 @@ class TestPretrainStep:
         assert last < first * 0.5
         assert int(state.step) == 30
 
+    def test_ema_through_epoch_program(self):
+        """`ema_decay` config path: EMA shadow updates inside the donated
+        epoch-scan program. Regression: create(ema=True) must COPY params —
+        aliased buffers fail donation ('donate the same buffer twice')."""
+        from fewshot_vit_tpu.train.loop import batch_indices, make_pretrain_epoch
+
+        model = Classifier(encoder=TinyEncoder(), classifier=LinearClassifier(6, name="classifier"))
+        images, labels = small_batch()
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(variables["params"], "sgd", lr=0.1)
+        state = TrainState.create(variables, tx, ema=True)
+        epoch = make_pretrain_epoch(model, tx, ema_decay=0.9)
+        idx = jnp.asarray(batch_indices(len(images), 8, np.random.default_rng(0)))
+        state, ms = epoch(state, images, labels, idx, jax.random.key(1))
+        assert np.isfinite(np.asarray(ms["loss"])).all()
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        e0 = jax.tree_util.tree_leaves(state.ema_params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(e0))  # EMA lags
+        with pytest.raises(ValueError):
+            make_pretrain_epoch(model, tx, sam_rho=0.05, ema_decay=0.9)
+
     def test_bf16_mixed_precision(self):
         """model_args.dtype=bfloat16: activations run bf16, params/optimizer
         state stay fp32, the loss is finite fp32, and training still learns."""
