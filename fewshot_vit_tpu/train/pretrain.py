@@ -97,7 +97,7 @@ def main(cfg, args) -> TrainState:
         params = jax.tree_util.tree_map(jax.device_put, state.params, pshard)
         state = TrainState.create(
             {"params": params, "batch_stats": jax.device_put(state.batch_stats, replicated(mesh))},
-            tx,
+            tx, ema=bool(ema_decay),
         )
         image_shard = replicated(mesh)
         if not stage:
