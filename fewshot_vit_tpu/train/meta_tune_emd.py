@@ -17,7 +17,6 @@ Run: ``python -m fewshot_vit_tpu.train.meta_tune_emd --config configs/sund_mini_
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable
 
 import jax
@@ -96,6 +95,72 @@ def make_emd_episode_fn(
     return fn
 
 
+def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
+    """jit: (state, images u8, idx (S, E, way*(shot+query)) interleaved, rng)
+    -> (state, metrics).
+
+    Task batching (the reference accumulates loss/bs over bs iterations and
+    steps every bs, ``train_meta.py:166-177``). ``grad_accum=False`` vmaps the
+    bs episodes concurrently (fastest); ``grad_accum=True`` scans them
+    sequentially with summed gradients — identical math (the loss is a mean of
+    per-episode losses), activation memory of ONE episode. A grid episode is
+    way*(shot+query)*13 patch images, so vmapped bs>1 can exceed HBM at full
+    query counts.
+    """
+
+    def epoch_fn_inner(state, images, idx, rng):
+        def body(state, scan_in):
+            idx_b, i = scan_in
+            k = jax.random.fold_in(rng, i)
+
+            def ep_loss(params, e):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                logits = episode_fn(variables, images[idx_b[e]], jax.random.fold_in(k, e))
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), labels
+                ).mean(), logits
+
+            if grad_accum:
+                def one(carry, e):
+                    (loss_e, logits_e), grads_e = jax.value_and_grad(
+                        ep_loss, has_aux=True)(state.params, e)
+                    loss_a, acc_a, grads_a = carry
+                    acc_e = jnp.mean(
+                        (jnp.argmax(logits_e, -1) == labels).astype(jnp.float32))
+                    grads_a = jax.tree_util.tree_map(
+                        lambda a, g: a + g, grads_a, grads_e)
+                    return (loss_a + loss_e, acc_a + acc_e, grads_a), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (loss, acc, grads), _ = jax.lax.scan(
+                    one, (jnp.float32(0), jnp.float32(0), zeros),
+                    jnp.arange(ep_per_batch))
+                inv = 1.0 / ep_per_batch
+                loss, acc = loss * inv, acc * inv
+                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            else:
+                def loss_fn(params):
+                    losses, logits = jax.vmap(lambda e: ep_loss(params, e))(
+                        jnp.arange(ep_per_batch)
+                    )
+                    acc = jnp.mean(
+                        (jnp.argmax(logits, -1) == labels[None]).astype(jnp.float32)
+                    )
+                    return losses.mean(), acc
+
+                (loss, acc), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state), {"loss": loss, "acc": acc}
+
+        state, ms = jax.lax.scan(body, state, (idx, jnp.arange(idx.shape[0])))
+        return state, ms
+
+    return jax.jit(epoch_fn_inner, donate_argnums=(0,))
+
+
 def main(cfg, args) -> TrainState:
     logger = RunLogger(save_dir_for(cfg, args, f"sund_{cfg.get('train_dataset')}"))
     logger.log(f"config: {cfg.to_dict()}")
@@ -162,40 +227,11 @@ def main(cfg, args) -> TrainState:
         train=True,
     )
     labels = jnp.tile(jnp.arange(way), query)
-
     images_dev = jax.device_put(train_ds.images)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state, images, idx, rng):
-        # idx (S, E, way*(shot+query)) interleaved
-        def body(state, scan_in):
-            idx_b, i = scan_in
-            k = jax.random.fold_in(rng, i)
-
-            def ep_loss(params, e):
-                variables = {"params": params, "batch_stats": state.batch_stats}
-                logits = episode_fn(variables, images[idx_b[e]], jax.random.fold_in(k, e))
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    logits.astype(jnp.float32), labels
-                ).mean(), logits
-
-            def loss_fn(params):
-                losses, logits = jax.vmap(lambda e: ep_loss(params, e))(
-                    jnp.arange(ep_per_batch)
-                )
-                acc = jnp.mean(
-                    (jnp.argmax(logits, -1) == labels[None]).astype(jnp.float32)
-                )
-                return losses.mean(), acc
-
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return state.replace(step=state.step + 1, params=params,
-                                 opt_state=opt_state), {"loss": loss, "acc": acc}
-
-        state, ms = jax.lax.scan(body, state, (idx, jnp.arange(idx.shape[0])))
-        return state, ms
+    epoch_fn = make_emd_epoch_fn(
+        episode_fn, tx, labels, ep_per_batch,
+        grad_accum=bool(cfg.get("grad_accum", False)),
+    )
 
     # eval episode program (interleaved, fixed patch ratio, SFC in eval as ref)
     patch_eval = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),

@@ -212,3 +212,48 @@ class TestDifferentiableFlows:
         assert np.isfinite(np.asarray(g_stop)).all()
         assert np.isfinite(np.asarray(g_diff)).all()
         assert float(jnp.abs(g_stop - g_diff).max()) > 1e-6
+
+
+class TestTaskBatching:
+    def test_grad_accum_equals_vmap(self):
+        """`grad_accum: true` (sequential scan, reference accumulation
+        semantics, 1-episode memory) must match the vmapped task batch:
+        same loss/acc and the same params after the update."""
+        import optax
+
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_emd_epoch_fn, make_patch_fn,
+        )
+        from fewshot_vit_tpu.train.state import TrainState
+        from .test_heads_eval import TinyEncoder
+        from fewshot_vit_tpu.heads.deepemd import DeepEMD
+
+        way, shot, query, epb = 3, 1, 4, 3
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = optax.sgd(1e-2, momentum=0.9)
+        patch_fn = make_patch_fn("fcn", [2], 4, 2.0, 16, False)
+        episode_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                         (0.5, 0.5, 0.5), (0.5, 0.5, 0.5),
+                                         sfc=False)
+        labels = jnp.tile(jnp.arange(way), query)
+        rng = np.random.default_rng(0)
+        n_img = 60
+        images = jnp.asarray(rng.integers(0, 256, (n_img, 16, 16, 3)).astype(np.uint8))
+        idx = jnp.asarray(
+            rng.integers(0, n_img, (2, epb, way * (shot + query))).astype(np.int32))
+
+        out = {}
+        for accum in (False, True):
+            # fresh copies: the epoch program donates the state buffers
+            state = TrainState.create(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables), tx)
+            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb, grad_accum=accum)
+            state, ms = ep(state, images, idx, jax.random.key(1))
+            out[accum] = (np.asarray(ms["loss"]), np.asarray(ms["acc"]),
+                          jax.tree_util.tree_leaves(state.params))
+        np.testing.assert_allclose(out[False][0], out[True][0], rtol=1e-5)
+        np.testing.assert_allclose(out[False][1], out[True][1], rtol=1e-6)
+        for a, b in zip(out[False][2], out[True][2]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
