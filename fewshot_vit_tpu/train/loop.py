@@ -25,7 +25,7 @@ from . import steps as steps_mod
 
 def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
                         sam_rho=None, sam_adaptive=False,
-                        ema_decay=None) -> Callable:
+                        ema_decay=None, remat=False) -> Callable:
     """jit: (state, images (N,H,W,3) u8, labels (N,), idx (S,B), rng) ->
     (state, metrics dict of (S,) arrays).
 
@@ -41,6 +41,8 @@ def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
     if sam_rho:
         if ema_decay:
             raise ValueError("ema_decay is not supported with the SAM step")
+        if remat:
+            raise ValueError("remat is not supported with the SAM step")
         from .sam import make_sam_pretrain_step
 
         step = make_sam_pretrain_step(
@@ -49,7 +51,7 @@ def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
         )
     else:
         step = steps_mod.make_pretrain_step(
-            model, tx, preprocess_fn=preprocess_fn, jit=False,
+            model, tx, preprocess_fn=preprocess_fn, jit=False, remat=remat,
             ema_decay=float(ema_decay) if ema_decay else None, **kw)
 
     def epoch(state, images, labels, idx, rng):
@@ -67,13 +69,14 @@ def make_pretrain_epoch(model, tx, preprocess_fn=None, mean=None, std=None,
     return jax.jit(epoch, donate_argnums=(0,))
 
 
-def make_sun_epoch(student, teacher, tx, dual_view_fn=None, mean=None, std=None, **sun_kw) -> Callable:
+def make_sun_epoch(student, teacher, tx, dual_view_fn=None, mean=None, std=None,
+                   remat=False, **sun_kw) -> Callable:
     """jit: (state, teacher_vars, images u8, labels, idx (S,B), rng) -> (state, metrics)."""
     kw = dict(sun_kw)
     if mean is not None:
         kw.update(mean=mean, std=std)
     step = steps_mod.make_sun_step(
-        student, teacher, tx, dual_view_fn=dual_view_fn, jit=False, **kw
+        student, teacher, tx, dual_view_fn=dual_view_fn, jit=False, remat=remat, **kw
     )
 
     def epoch(state, teacher_variables, images, labels, idx, rng):

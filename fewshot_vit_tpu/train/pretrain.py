@@ -120,7 +120,7 @@ def main(cfg, args) -> TrainState:
         logger.log(f"SAM pretraining: {sam_kw}")
     epoch_fn = make_pretrain_epoch(
         model, tx, preprocess_fn=preprocess_fn, mean=train_ds.mean, std=train_ds.std,
-        ema_decay=ema_decay or None, **sam_kw,
+        ema_decay=ema_decay or None, remat=bool(cfg.get("remat", False)), **sam_kw,
     )
     stager = None
     if stage:

@@ -41,17 +41,31 @@ def _apply_train(model, params, batch_stats, x, rng, **kwargs):
     return out, mut.get("batch_stats", batch_stats)
 
 
+def _train_apply_fn(model, remat: bool):
+    """The (params, batch_stats, x, rng) -> (out, new_stats) forward used
+    inside loss functions. ``remat=True`` wraps it in ``jax.checkpoint``:
+    the backward pass recomputes the forward instead of storing its
+    activations — the standard TPU HBM-for-FLOPs trade for batch sizes or
+    models that otherwise exceed device memory (identical values/grads)."""
+    fn = lambda params, batch_stats, x, rng: _apply_train(  # noqa: E731
+        model, params, batch_stats, x, rng)
+    return jax.checkpoint(fn) if remat else fn
+
+
 def make_pretrain_step(
     model, tx: optax.GradientTransformation,
     mean=MEAN, std=STD, ema_decay: Optional[float] = None,
     preprocess_fn: Optional[Callable] = None,
+    remat: bool = False,
     jit: bool = True,
 ) -> Callable:
     """(state, images_u8 (B,H,W,3), labels (B,), rng) -> (state, metrics).
 
     ``preprocess_fn(images_u8, rng) -> float images`` hooks the device-side
-    augmentation pipeline; default is plain normalization.
+    augmentation pipeline; default is plain normalization. ``remat`` trades
+    a forward recompute for activation memory (see `_train_apply_fn`).
     """
+    apply_fn = _train_apply_fn(model, remat)
 
     def step(state: TrainState, images_u8, labels, rng):
         if preprocess_fn is not None:
@@ -60,7 +74,7 @@ def make_pretrain_step(
             x = normalize(images_u8, mean, std)
 
         def loss_fn(params):
-            logits, new_stats = _apply_train(model, params, state.batch_stats, x, rng)
+            logits, new_stats = apply_fn(params, state.batch_stats, x, rng)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), labels
             ).mean()
@@ -90,6 +104,7 @@ def make_sun_step(
     soft_k: int = 5, bg_tokens: int = 10, token_weight: float = 0.5,
     smoothing: float = 0.1, mean=MEAN, std=STD,
     dual_view_fn: Optional[Callable] = None,
+    remat: bool = False,
     jit: bool = True,
 ) -> Callable:
     """SUN meta-training step.
@@ -101,8 +116,10 @@ def make_sun_step(
     ``dual_view_fn(images_u8, rng) -> (strong_float, weak_float)`` enables the
     device-side location-aware dual augmentation (strong view derived from the
     weak crop, ``datasets/mini_imagenet.py:194-204``); when set, pass the SAME
-    base batch as both ``strong_u8`` and ``weak_u8``.
+    base batch as both ``strong_u8`` and ``weak_u8``. ``remat`` recomputes the
+    student forward during backward (the frozen teacher stores no activations).
     """
+    student_apply = _train_apply_fn(student, remat)
 
     def step(state: TrainState, teacher_variables, strong_u8, weak_u8, labels, rng):
         if dual_view_fn is not None:
@@ -118,8 +135,8 @@ def make_sun_step(
         soft = jax.lax.stop_gradient(soft)
 
         def loss_fn(params):
-            (y_token, y, _), new_stats = _apply_train(
-                student, params, state.batch_stats, xs_strong, rng
+            (y_token, y, _), new_stats = student_apply(
+                params, state.batch_stats, xs_strong, rng
             )
             cls_loss = optax.softmax_cross_entropy_with_integer_labels(
                 y.astype(jnp.float32), labels

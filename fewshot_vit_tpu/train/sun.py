@@ -126,6 +126,7 @@ def main(cfg, args) -> TrainState:
     epoch_fn = make_sun_epoch(
         student, teacher, tx,
         dual_view_fn=dual_view_fn,
+        remat=bool(cfg.get("remat", False)),
         mean=train_ds.mean, std=train_ds.std,
         soft_k=int(cfg.get("tl_soft_k", 5)),
         bg_tokens=int(cfg.get("bg_token_num", 10)),

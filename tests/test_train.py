@@ -353,3 +353,51 @@ class TestShardedStep:
         m = metrics_mean(ms)
         assert np.isfinite(m["loss"])
         assert int(state.step) == 3
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self):
+        """`remat: true` recomputes the forward in backward — values, grads,
+        and the updated params must be identical to the plain step."""
+        images, labels = small_batch()
+        model = Classifier(encoder=TinyEncoder(), classifier=LinearClassifier(6, name="classifier"))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(variables["params"], "sgd", lr=0.1)
+
+        outs = {}
+        for remat in (False, True):
+            state = TrainState.create(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables), tx)
+            step = make_pretrain_step(model, tx, remat=remat)
+            state, m = step(state, images, labels, jax.random.key(1))
+            outs[remat] = (float(m["loss"]), jax.tree_util.tree_leaves(state.params))
+        assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+        for a, b in zip(outs[False][1], outs[True][1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    def test_sun_remat_matches_plain(self):
+        student = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        images, labels = small_batch()
+        sv = student.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(sv["params"], "sgd", lr=0.1)
+        tvars = {"params": sv["params"]}
+        outs = {}
+        for remat in (False, True):
+            state = TrainState.create(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), sv), tx)
+            step = make_sun_step(student, student, tx, soft_k=2, bg_tokens=1,
+                                 remat=remat)
+            state, m = step(state, tvars, images, images, labels, jax.random.key(1))
+            outs[remat] = (float(m["loss"]), jax.tree_util.tree_leaves(state.params))
+        assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+        for a, b in zip(outs[False][1], outs[True][1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    def test_sam_remat_rejected(self):
+        from fewshot_vit_tpu.train.loop import make_pretrain_epoch
+
+        model = Classifier(encoder=TinyEncoder(), classifier=LinearClassifier(6, name="classifier"))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(variables["params"], "sgd", lr=0.1)
+        with pytest.raises(ValueError):
+            make_pretrain_epoch(model, tx, sam_rho=0.05, remat=True)
