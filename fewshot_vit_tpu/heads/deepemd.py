@@ -135,7 +135,12 @@ def sfc_refine(
     proto (way, N, C) = shot-mean init; support (way*shot, N, C) in class-major
     order. 100 steps of SGD(momentum, dampening) on CE(emd_logits(proto,
     batch), labels) over shuffled support mini-batches, inside ``lax.scan``.
+
+    Runs fp32 regardless of the encoder dtype: the inner SGD accumulates
+    small updates that bf16 prototypes would quantize away.
     """
+    proto = proto.astype(jnp.float32)
+    support = support.astype(jnp.float32)
     labels = jnp.tile(jnp.arange(way), shot)  # reference label_shot order
     n_support = way * shot
 
