@@ -36,7 +36,7 @@ def _run_cli(module, cfg_path, name, save_root, extra=()):
     out = subprocess.run(
         [sys.executable, "-m", module, "--config", str(cfg_path),
          "--name", name, "--save-root", str(save_root), *extra],
-        capture_output=True, text=True, timeout=900, env=_clean_env(), cwd=REPO,
+        capture_output=True, text=True, timeout=1800, env=_clean_env(), cwd=REPO,
     )
     assert out.returncode == 0, f"{module} failed:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
     return out.stdout
@@ -137,7 +137,7 @@ class TestPipelineChain:
         out = subprocess.run(
             [sys.executable, "-m", "fewshot_vit_tpu.eval.run", "--config", ev,
              "--episodes", "16", "--shot", "1"],
-            capture_output=True, text=True, timeout=900, env=_clean_env(), cwd=REPO,
+            capture_output=True, text=True, timeout=1800, env=_clean_env(), cwd=REPO,
         )
         assert out.returncode == 0, out.stderr[-1500:]
         assert "acc=" in out.stdout
