@@ -128,13 +128,18 @@ def rotate(x: jax.Array, degrees: jax.Array) -> jax.Array:
     """
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
     x = x.astype(jnp.float32)
+    # PIL rotates counter-clockwise for positive angles; the shear/quarter-turn
+    # decomposition below is expressed for clockwise-positive, so negate here
+    # (verified against PIL.Image.rotate in tests/test_augment.py)
+    degrees = -degrees
     q = jnp.round(degrees / 90.0)
     r = jnp.deg2rad(degrees - 90.0 * q)  # residual in [-45, 45] deg
     qm = jnp.mod(q, 4.0)[:, None, None, None]
-    # quarter turns of a square image, PIL rotate(90k) semantics
-    r90 = jnp.swapaxes(x, 1, 2)[:, :, ::-1, :]  # CCW 90
+    # quarter turns of a square image (q counts clockwise after the negation
+    # above, so qm==3 is the PIL rotate(90) CCW turn — PIL-exact, tested)
+    r90 = jnp.swapaxes(x, 1, 2)[:, :, ::-1, :]  # clockwise 90
     r180 = x[:, ::-1, ::-1, :]
-    r270 = jnp.swapaxes(x, 1, 2)[:, ::-1, :, :]
+    r270 = jnp.swapaxes(x, 1, 2)[:, ::-1, :, :]  # clockwise 270 = PIL +90
     out = jnp.where(qm == 1.0, r90, x)
     out = jnp.where(qm == 2.0, r180, out)
     out = jnp.where(qm == 3.0, r270, out)

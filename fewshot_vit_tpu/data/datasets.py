@@ -296,3 +296,50 @@ def synthetic(
     noise += base[labels]
     images = np.clip(noise, 0, 255, out=noise).astype(np.uint8)
     return ArrayDataset(images, labels.astype(np.int32), n_classes)
+
+
+@datasets.register("synthetic-local")
+def synthetic_local(
+    n_classes: int = 16,
+    n_per_class: int = 40,
+    image_size: int = 80,
+    patch_size: int = 24,
+    seed: int = 0,
+    class_seed: int = 0,
+    **_: object,
+) -> ArrayDataset:
+    """Localized-signal synthetic task for end-to-end LEARNING-QUALITY tests.
+
+    Class identity lives ONLY in a ``patch_size`` x ``patch_size`` smooth
+    color pattern pasted at a RANDOM location per sample; the rest of the
+    image is iid noise shared across classes. Consequences:
+
+      * an UNTRAINED encoder's pooled features are noise-dominated (the
+        signal covers ~(patch/image)^2 of the area), so episodic cosine
+        matching sits near chance — the baseline the trained pipeline must
+        beat;
+      * supervised pretraining must learn localized pattern detectors, and
+        SUN's token supervision (background class on non-signal patches) is
+        *on-thesis*: it sharpens exactly this localization;
+      * ``class_seed`` controls the class patterns separately from ``seed``
+        (samples), so a disjoint-novel-class test split for true few-shot
+        transfer is ``class_seed=1`` — same generative family, unseen
+        classes, as in the real protocol.
+    """
+    rng = np.random.default_rng(seed)
+    crng = np.random.default_rng((class_seed + 1) * 7919)
+    # smooth class patterns: low-res color grids upsampled to patch_size
+    lowres = crng.integers(0, 256, (n_classes, 4, 4, 3)).astype(np.float32)
+    reps = -(-patch_size // 4)
+    patterns = np.repeat(np.repeat(lowres, reps, 1), reps, 2)[
+        :, :patch_size, :patch_size
+    ].astype(np.uint8)
+
+    n = n_classes * n_per_class
+    labels = np.repeat(np.arange(n_classes), n_per_class)
+    images = rng.integers(0, 256, (n, image_size, image_size, 3), dtype=np.uint8)
+    ys = rng.integers(0, image_size - patch_size + 1, n)
+    xs = rng.integers(0, image_size - patch_size + 1, n)
+    for i in range(n):
+        images[i, ys[i]: ys[i] + patch_size, xs[i]: xs[i] + patch_size] = patterns[labels[i]]
+    return ArrayDataset(images, labels.astype(np.int32), n_classes)

@@ -7,9 +7,11 @@ each mode is ONE batched jnp function applied to any dataset):
   * ``fcn``: the plain image — nodes come from the encoder's dense map;
   * ``grid``: an image pyramid of overlapping grid cells — for each g in
     ``patch_list`` (default (2, 3)), g*g cells whose size is scaled by
-    ``ratio`` around the cell center (train: ratio ~ U[1, 3); eval: fixed
-    ``patch_ratio`` 2), each resized to the model size -> 4+9=13 patches
-    (``grid/mini_imagenet.py:78-148``);
+    ``ratio`` around the cell center (train: ratio ~ U[1, 3) drawn fresh PER
+    IMAGE and PER PYRAMID LEVEL, exactly like the reference's ``get_pyramid``
+    which calls ``1+2*random.random()`` once per ``__getitem__`` per level;
+    eval: fixed ``patch_ratio`` 2), each resized to the model size ->
+    4+9=13 patches (``grid/mini_imagenet.py:78-148``);
   * ``sampling``: ``num_patch`` (9) independent RandomResizedCrops
     (``sampling/mini_imagenet.py:52-58``).
 """
@@ -24,15 +26,32 @@ import jax.numpy as jnp
 from .augment import random_resized_crop
 
 
+def draw_grid_ratios(key: jax.Array, batch: int, n_levels: int) -> jax.Array:
+    """Train-time grid ratios, one iid U[1, 3) draw per (image, level) —
+    the reference's ``grid_ratio = 1+2*random.random()`` inside
+    ``get_pyramid`` (``grid/mini_imagenet.py:104-110``), which runs once per
+    image per pyramid level."""
+    return 1.0 + 2.0 * jax.random.uniform(key, (batch, n_levels))
+
+
 def _grid_boxes(size: int, num_grid: int, ratio) -> Tuple[jax.Array, jax.Array]:
-    """Start/end coordinates of ``num_grid`` enlarged cells along one axis
-    (reference ``get_grid_location``): cell centers at raw-grid centers,
-    extent = (size/num_grid) * ratio, clipped to the image."""
-    raw = size / num_grid
-    centers = raw / 2 + raw * jnp.arange(num_grid, dtype=jnp.float32)
-    half = (raw * ratio) / 2.0
-    lo = jnp.maximum(0.0, centers - half)
-    hi = jnp.minimum(float(size), centers + half)
+    """Start/end coordinates of ``num_grid`` enlarged cells along one axis,
+    reproducing the reference ``get_grid_location`` INTEGER arithmetic
+    exactly (``grid/mini_imagenet.py:78-98``): raw cell = int(size/g),
+    enlarged = int(size/g*ratio), centers at raw//2 + raw*i, box =
+    (max(0, c - enlarged//2), min(size, c + enlarged//2)).
+
+    ``ratio`` may be a scalar or a traced array (leading per-image dims);
+    the integer truncations become ``jnp.floor`` (all quantities >= 0).
+    Returns (lo, hi) shaped ``ratio.shape + (num_grid,)``.
+    """
+    raw = int(size / num_grid)
+    ratio = jnp.asarray(ratio, jnp.float32)
+    enlarged = jnp.floor(size / num_grid * ratio)
+    half = jnp.floor(enlarged / 2.0)
+    centers = (raw // 2 + raw * jnp.arange(num_grid)).astype(jnp.float32)
+    lo = jnp.maximum(0.0, centers - half[..., None])
+    hi = jnp.minimum(float(size), centers + half[..., None])
     return lo, hi
 
 
@@ -44,28 +63,38 @@ def grid_patches(
 ) -> jax.Array:
     """(B, H, W, 3) uint8/float -> (B, sum(g^2), out, out, 3) float [0,255].
 
-    ``ratio`` may be a traced scalar (train-time random U[1,3))."""
+    ``ratio``: a scalar (eval: fixed ``patch_ratio`` for every image/level) or
+    a (B, len(patch_list)) array (train: per-image, per-level U[1,3) draws
+    from ``draw_grid_ratios``); either may be traced."""
     b, h, w = images.shape[:3]
     imgs = images.astype(jnp.float32)
+    ratio = jnp.asarray(ratio, jnp.float32)
+    if ratio.ndim == 0:
+        ratio = jnp.broadcast_to(ratio, (b, len(patch_list)))
+    if ratio.shape != (b, len(patch_list)):
+        raise ValueError(
+            f"ratio shape {ratio.shape} != ({b}, {len(patch_list)}) (B, n_levels)"
+        )
+
+    def crop(im, sy, sx, y0, x0):
+        return jax.image.scale_and_translate(
+            im, (out_size, out_size, 3), (0, 1),
+            jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
+            method="bilinear",
+        )
+
     patches = []
-    for g in patch_list:
-        lo_y, hi_y = _grid_boxes(h, g, ratio)
-        lo_x, hi_x = _grid_boxes(w, g, ratio)
+    for li, g in enumerate(patch_list):
+        r = ratio[:, li]  # (B,)
+        lo_y, hi_y = _grid_boxes(h, g, r)  # (B, g)
+        lo_x, hi_x = _grid_boxes(w, g, r)
         for i in range(g):
             for j in range(g):
-                y0, y1 = lo_y[i], hi_y[i]
-                x0, x1 = lo_x[j], hi_x[j]
+                y0, y1 = lo_y[:, i], hi_y[:, i]
+                x0, x1 = lo_x[:, j], hi_x[:, j]
                 sy = out_size / (y1 - y0)
                 sx = out_size / (x1 - x0)
-
-                def crop(im, sy=sy, sx=sx, y0=y0, x0=x0):
-                    return jax.image.scale_and_translate(
-                        im, (out_size, out_size, 3), (0, 1),
-                        jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
-                        method="bilinear",
-                    )
-
-                patches.append(jax.vmap(crop)(imgs))
+                patches.append(jax.vmap(crop)(imgs, sy, sx, y0, x0))
     return jnp.stack(patches, axis=1)
 
 

@@ -57,7 +57,7 @@ def main():
         temperature=float(cfg.get("temperature", 12.5)),
         solver_reg=float(cfg.get("solver_reg", 0.05)),
         solver_iters=int(cfg.get("solver_iters", 100)),
-        solver=cfg.get("solver", "opencv"),
+        solver=cfg.get("solver", "sinkhorn_detached"),
         feature_pyramid=cfg.get("feature_pyramid"),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )

@@ -48,6 +48,39 @@ def weight_vector(a: jax.Array, b: jax.Array) -> jax.Array:
     return jax.nn.relu(w) + 1e-3
 
 
+def _pool_matrix(n_in: int, n_out: int) -> jax.Array:
+    """Row-stochastic (n_out, n_in) matrix of torch's adaptive_avg_pool1d
+    bins: bin i averages input [floor(i*n/s), ceil((i+1)*n/s))."""
+    import numpy as np
+
+    m = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        a = (i * n_in) // n_out
+        b = -((-(i + 1) * n_in) // n_out)  # ceil((i+1)*n_in/n_out)
+        m[i, a:b] = 1.0 / (b - a)
+    return jnp.asarray(m)
+
+
+def pyramid_nodes(dense: jax.Array, sizes: Sequence[int]) -> jax.Array:
+    """Feature-pyramid node set: (B, H, W, C) -> (B, sum(s*s) + H*W, C).
+
+    Exact ``F.adaptive_avg_pool2d(feature, size)`` math per level (separable
+    bin-average matrices on the MXU), then the raw map appended LAST — the
+    reference's ``build_feature_pyramid`` order
+    (``meta_tuning_sun_d/Models/models/Network.py:194-204``).
+    """
+    b, h, w, c = dense.shape
+    levels = []
+    for s in sizes:
+        s = int(s)
+        lv = jnp.einsum(
+            "ih,bhwc,jw->bijc", _pool_matrix(h, s), dense, _pool_matrix(w, s)
+        )
+        levels.append(lv.reshape(b, s * s, c))
+    levels.append(dense.reshape(b, h * w, c))
+    return jnp.concatenate(levels, axis=1)
+
+
 def center_normalize(x: jax.Array, norm: str = "center") -> jax.Array:
     """Subtract the per-node channel mean (reference ``:143-148``)."""
     if norm == "center":
@@ -178,6 +211,35 @@ def sfc_refine(
 # --- head module ----------------------------------------------------------------
 
 
+_SOLVER_ALIASES = {"opencv": "sinkhorn_detached"}
+_SOLVERS = ("sinkhorn_detached", "qpth", "sinkhorn_pallas")
+
+
+def _canonical_solver(solver: str) -> str:
+    """Resolve legacy solver aliases with a warning.
+
+    The default on-device solver is log-domain Sinkhorn with stop-gradient
+    flows — the *semantics* of the reference's cv2.EMD path (detached flows,
+    Network.py:114-124) but NOT the exact transportation simplex (that lives
+    in ``native/emd.py`` for CPU parity validation). The old config name
+    'opencv' invited the false belief that the exact simplex runs on device,
+    so the truthful name is 'sinkhorn_detached'."""
+    if solver in _SOLVER_ALIASES:
+        import warnings
+
+        new = _SOLVER_ALIASES[solver]
+        warnings.warn(
+            f"solver: '{solver}' is a legacy alias for '{new}' (stop-gradient "
+            "log-domain Sinkhorn, not the exact simplex); update your config",
+            stacklevel=3,
+        )
+        return new
+    if solver not in _SOLVERS:
+        raise ValueError(f"unknown solver {solver!r}; one of {_SOLVERS} "
+                         f"(or legacy alias {tuple(_SOLVER_ALIASES)})")
+    return solver
+
+
 class DeepEMD(nn.Module):
     """Encoder + DeepEMD matching / pretrain classifier."""
 
@@ -188,10 +250,14 @@ class DeepEMD(nn.Module):
     norm: str = "center"
     solver_reg: float = 0.05
     solver_iters: int = 100
-    # 'opencv' semantics = stop-gradient flows; 'qpth' = flows differentiable
-    # through the unrolled Sinkhorn iterations (reference Network.py:77-80);
-    # 'sinkhorn_pallas' = stop-gradient flows via the fused VMEM kernel
-    solver: str = "opencv"
+    # 'sinkhorn_detached' = stop-gradient flows (the semantics of the
+    # reference's cv2.EMD path: flows are computed on detached tensors,
+    # gradients reach only `similarity_map * flow`, Network.py:114-124);
+    # 'qpth' = flows differentiable through the unrolled Sinkhorn iterations
+    # (reference Network.py:77-80); 'sinkhorn_pallas' = stop-gradient flows
+    # via the fused VMEM kernel. Legacy alias 'opencv' -> 'sinkhorn_detached'
+    # (the flow is Sinkhorn, NOT the exact simplex — see _canonical_solver).
+    solver: str = "sinkhorn_detached"
     feature_pyramid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
 
@@ -210,16 +276,10 @@ class DeepEMD(nn.Module):
             _, pooled = self.encoder(x.reshape((-1,) + x.shape[2:]), train)
             return pooled.reshape(b, p, -1)
         dense, _ = self.encoder(x, train)
-        b, h, w, c = dense.shape
-        nodes = dense.reshape(b, h * w, c)
         if self.feature_pyramid:
-            levels = [nodes]
-            for size in self.feature_pyramid:
-                # adaptive average pool to (size, size) node grids
-                pooled = jax.image.resize(dense, (b, size, size, c), method="linear")
-                levels.append(pooled.reshape(b, size * size, c))
-            nodes = jnp.concatenate(levels, axis=1)
-        return nodes
+            return pyramid_nodes(dense, self.feature_pyramid)
+        b, h, w, c = dense.shape
+        return dense.reshape(b, h * w, c)
 
     def pre_train(self, x: jax.Array, train: bool = False) -> jax.Array:
         _, pooled = self.encoder(x, train)
@@ -252,7 +312,7 @@ def make_deepemd(
     norm: str = "center",
     solver_reg: float = 0.05,
     solver_iters: int = 100,
-    solver: str = "opencv",
+    solver: str = "sinkhorn_detached",
     feature_pyramid: Optional[Sequence[int]] = None,
     dtype: Any = jnp.float32,
 ) -> DeepEMD:
@@ -260,6 +320,6 @@ def make_deepemd(
     return DeepEMD(
         encoder=enc, n_classes=n_classes, temperature=temperature,
         metric=metric, norm=norm, solver_reg=solver_reg,
-        solver_iters=solver_iters, solver=solver,
+        solver_iters=solver_iters, solver=_canonical_solver(solver),
         feature_pyramid=feature_pyramid, dtype=dtype,
     )

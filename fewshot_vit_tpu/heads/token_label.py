@@ -76,10 +76,14 @@ class TokenLabelEpisodic(nn.Module):
         # Per query patch: best cosine match over ALL support patches of a
         # class; average over query patches -> (E, Q, way). This is the
         # *documented intent* of the reference head — its code is broken dead
-        # research code (``sun_meta_training/token_label.py:89`` reshapes
-        # feat_query as the support; the meta-tuning copy's broadcast only
-        # types for shot==1 and then collapses the way axis) — so we implement
-        # the intended local top-1 matching directly.
+        # research code: ``sun_meta_training/token_label.py:89`` reshapes
+        # feat_query as the support, the local branch (:89-95) only typechecks
+        # for a 5-dim flat query while the cls reshape (:103) assumes a 6-dim
+        # (b, way, q_per) query, so NO input rank lets the reference forward
+        # complete (verified by execution in tests/test_heads_eval.py). We
+        # implement the intended local top-1 matching directly; the cls branch
+        # is parity-anchored line-by-line against the reference's cls-path
+        # code at the rank it assumes.
         sim = jnp.einsum("eqtc,enkc->eqntk", fq, fs)  # (E, Q, way, T, shot*T)
         local = jnp.mean(jnp.max(sim, axis=-1), axis=-1)  # (E, Q, way)
 

@@ -11,8 +11,9 @@ TPU-native design:
     converges to the exact LP flow (cross-checked in tests against cv2.EMD and
     the in-repo exact C++ simplex, mirroring ``emd_utils.py:97-133``).
     Flows are ``stop_gradient``-ed by default, matching the reference's
-    published opencv semantics; ``differentiable=True`` unrolls the iterations
-    for qpth-style end-to-end gradients.
+    cv2-path training semantics (head config ``solver: sinkhorn_detached``);
+    ``differentiable=True`` unrolls the iterations for qpth-style end-to-end
+    gradients.
   * the exact C++ solver lives in ``fewshot_vit_tpu.native.emd`` for parity
     validation (host-side).
 

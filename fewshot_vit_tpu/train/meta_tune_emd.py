@@ -45,9 +45,13 @@ def make_patch_fn(mode: str, patch_list, num_patch: int, patch_ratio: float,
                   out_size: int, train: bool) -> Callable:
     """(images u8 (B,H,W,3), rng) -> model input (B[,P],out,out,3) float 0..255."""
     if mode == "grid":
+        from ..data.patches import draw_grid_ratios
+
         def fn(images, rng):
             if train:
-                ratio = 1.0 + 2.0 * jax.random.uniform(rng)  # U[1, 3)
+                # U[1, 3) per image per pyramid level, as the reference's
+                # get_pyramid draws (grid/mini_imagenet.py:104-110)
+                ratio = draw_grid_ratios(rng, images.shape[0], len(patch_list))
             else:
                 ratio = patch_ratio
             return grid_patches(images, tuple(patch_list), ratio, out_size)
@@ -184,7 +188,7 @@ def main(cfg, args) -> TrainState:
         temperature=float(cfg.get("temperature", 12.5)),
         solver_reg=float(cfg.get("solver_reg", 0.05)),
         solver_iters=int(cfg.get("solver_iters", 100)),
-        solver=cfg.get("solver", "opencv"),
+        solver=cfg.get("solver", "sinkhorn_detached"),
         feature_pyramid=cfg.get("feature_pyramid"),
         dtype=model_dtype(cfg),
     )
@@ -283,6 +287,7 @@ def main(cfg, args) -> TrainState:
         start_epoch = int(meta.get("epoch", 0)) + 1
         logger.log(f"resumed full train state from epoch {start_epoch - 1}")
 
+    best_va, best_epoch = -float("inf"), 0
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         ep_rng = rng_mod.np_rng(args.seed, epoch)
@@ -296,6 +301,8 @@ def main(cfg, args) -> TrainState:
         accs = np.asarray(val_fn(state.variables, val_images, jnp.asarray(val_idx),
                                  rng_mod.epoch_key(root, 0)))
         va, ci = mean_confidence_interval(accs)
+        if va > best_va:
+            best_va, best_epoch = va, epoch
         logger.log(
             f"epoch {epoch} train loss={m['loss']:.4f} acc={m['acc']:.4f} | "
             f"val {way}w{shot}s acc={va:.4f} +- {ci:.4f} ({time.time() - t0:.1f}s)"
@@ -305,6 +312,34 @@ def main(cfg, args) -> TrainState:
                         {"model": "deepemd", "deepemd": mode,
                          "encoder": cfg.get("model_args.encoder")}, va=va)
         save_variables(resume_dir, state, {"epoch": epoch})
+
+    # inline final test phase (reference train_meta.py:237-277): reload the
+    # best-val checkpoint, run the full test protocol, append results.txt
+    test_episodes = int(cfg.get("test_episode", 2000 if shot == 1 else 600))
+    best_dir = os.path.join(logger.save_dir, "max-va")
+    if test_episodes and os.path.isdir(os.path.join(best_dir, "arrays")):
+        best_vars, best_meta = load_variables(best_dir, target=state.variables)
+        test_ds = build_dataset(cfg, "test_dataset") or val_ds
+        test_sampler = EpisodeSampler(test_ds.labels, test_episodes, way, shot + query, 1)
+        test_idx = interleaved(
+            np.stack(list(test_sampler.epoch(rng_mod.np_rng(1)))).reshape(test_episodes, -1),
+            test_episodes,
+        ).astype(np.int32)
+        accs = np.asarray(val_fn(best_vars, jax.device_put(test_ds.images),
+                                 jnp.asarray(test_idx), rng_mod.epoch_key(root, 1)))
+        m_t, ci_t = mean_confidence_interval(accs)
+        # max-va meta is authoritative (it survives resume; local best_va/
+        # best_epoch only cover this process's epochs)
+        best_va_saved = best_meta.get("val_acc", best_va)
+        best_epoch_saved = best_meta.get("epoch", best_epoch)
+        lines = [
+            f"Val Best Epoch {best_epoch_saved}, best val Acc {float(best_va_saved):.4f}",
+            f"Test Acc {m_t * 100:.4f} + {ci_t * 100:.4f}",
+        ]
+        logger.log(f"final test {way}w{shot}s ({test_episodes} episodes): "
+                   f"acc={m_t * 100:.2f} +- {ci_t * 100:.2f} (%)")
+        with open(os.path.join(logger.save_dir, "results.txt"), "a") as f:
+            f.write("\n".join(lines) + "\n")
     return state
 
 

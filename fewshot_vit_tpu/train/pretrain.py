@@ -172,9 +172,18 @@ def main(cfg, args) -> TrainState:
     resume_dir = os.path.join(logger.save_dir, "resume")
     start_epoch = 1
     if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
-        state, meta = load_variables(resume_dir, target=state)
+        from .state import resume_train_state
+
+        state, meta, note = resume_train_state(resume_dir, state)
         start_epoch = int(meta.get("epoch", 0)) + 1
         logger.log(f"resumed full train state from epoch {start_epoch - 1}")
+        if note:
+            logger.log(note)
+
+    # the EMA shadow must be consumable, not just carried: checkpoint it under
+    # ema/ (epoch-last + max-va on its own val acc) so it can be loaded like
+    # any other checkpoint (reference ModelEma's evaluate-the-shadow use)
+    ema_policy = CheckpointPolicy(os.path.join(logger.save_dir, "ema")) if ema_decay else None
 
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
@@ -207,12 +216,31 @@ def main(cfg, args) -> TrainState:
             line += " | " + " ".join(f"{k}={v:.4f}" for k, v in fm.items())
             logger.metrics(epoch, **fm)
 
+        ema_va = None
+        if ema_policy is not None:
+            ema_variables = {"params": state.ema_params}
+            if state.batch_stats:
+                ema_variables["batch_stats"] = state.batch_stats
+            if eval_fn is not None:
+                vidx = batch_indices(len(val_ds), min(batch_size, len(val_ds)),
+                                     rng_mod.np_rng(0, 0), drop_last=False)
+                ema_va = metrics_mean(
+                    eval_fn(ema_variables, val_images, val_labels, jnp.asarray(vidx))
+                )["acc"]
+                line += f" | ema val acc={ema_va:.4f}"
+
         logger.log(line + f" ({time.time() - t0:.1f}s)")
-        logger.metrics(epoch, **m, **({"val_acc": va} if va is not None else {}))
+        logger.metrics(epoch, **m, **({"val_acc": va} if va is not None else {}),
+                       **({"ema_val_acc": ema_va} if ema_va is not None else {}))
         policy.on_epoch(epoch, state.variables,
                         {"model": "classifier", "n_classes": n_classes,
                          "encoder": cfg.get("model_args.encoder")}, va=va)
-        save_variables(resume_dir, state, {"epoch": epoch})
+        if ema_policy is not None:
+            ema_policy.on_epoch(epoch, ema_variables,
+                                {"model": "classifier", "n_classes": n_classes,
+                                 "encoder": cfg.get("model_args.encoder"),
+                                 "ema_decay": ema_decay}, va=ema_va)
+        save_variables(resume_dir, state, {"epoch": epoch, "ema": bool(ema_decay)})
 
     if cfg.get("epoch_ex"):
         # reference 'extra epoch with the default transform' -> epoch-ex.pth
@@ -220,8 +248,12 @@ def main(cfg, args) -> TrainState:
         # stochastic augmentation pipeline
         from ..checkpoint import save_variables
 
+        # same execution options as the main epochs (remat so a memory-tight
+        # run can't OOM on the extra epoch; ema_decay so the shadow keeps
+        # updating) — only the augmentation pipeline is dropped
         plain_epoch_fn = make_pretrain_epoch(model, tx, mean=train_ds.mean, std=train_ds.std,
-                                             **sam_kw)
+                                             ema_decay=ema_decay or None,
+                                             remat=bool(cfg.get("remat", False)), **sam_kw)
         state, ms = run_epoch(plain_epoch_fn, state, epochs + 1,
                               rng_mod.epoch_key(root, epochs + 1))
         m = metrics_mean(ms)

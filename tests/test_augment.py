@@ -103,6 +103,19 @@ class TestGeometry:
         want = u8[:, ::-1, ::-1, :].astype(np.float32)
         assert np.abs(out - want).max() <= 1e-2
 
+    def test_rotate_quarter_turns_match_pil_ccw(self):
+        """Positive angles rotate counter-clockwise, PIL convention — exact
+        for multiples of 90 deg."""
+        from PIL import Image
+
+        u8 = rand_img(21, size=32)
+        for deg in (90.0, 270.0):
+            out = np.asarray(A.rotate(as_f32(u8), jnp.full(2, deg)))
+            want = np.stack(
+                [np.asarray(Image.fromarray(im).rotate(deg)) for im in u8]
+            ).astype(np.float32)
+            np.testing.assert_allclose(out, want, atol=1e-3)
+
     def test_translate_shifts(self):
         u8 = rand_img(11)
         out = np.asarray(A.translate(as_f32(u8), jnp.array([0.25, 0.0]), jnp.zeros(2)))
@@ -155,7 +168,7 @@ class TestGeometry:
         h = w = 33
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         img = np.stack([yy * 3, xx * 3, (yy + xx) * 1.5], -1)
-        rad = np.deg2rad(-17.0)  # inverse map of +17 deg
+        rad = np.deg2rad(17.0)  # inverse map of a +17 deg CCW (PIL) rotation
         c, s = np.cos(rad), np.sin(rad)
         got = np.asarray(A.rotate(jnp.asarray(img[None]), jnp.array([17.0])))[0]
 

@@ -171,3 +171,22 @@ class TestFolderDatasets:
         ds = datasets.make("cub", root_path=str(tmp_path), split="test", image_size=32)
         assert len(ds) == 6 and ds.n_classes == 2
         assert ds.images.shape == (6, 32, 32, 3)
+
+
+class TestParityRunScript:
+    def test_aborts_cleanly_without_materials(self, tmp_path):
+        """tools/parity_run.sh (the published-number readiness drill) must
+        stay runnable: with no materials it names every missing file and
+        exits 2 (not a crash)."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            ["bash", os.path.join(repo, "tools", "parity_run.sh"), str(tmp_path)],
+            capture_output=True, text=True, timeout=120, cwd=repo,
+        )
+        assert out.returncode == 2, (out.stdout, out.stderr)
+        for f in ("miniImageNet_category_split_test.pickle",
+                  "max-va-1shot.pth", "max-va-5shot.pth"):
+            assert f in out.stdout

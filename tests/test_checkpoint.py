@@ -85,6 +85,50 @@ class TestOrbaxRoundTrip:
         assert meta["epoch"] == 7
 
 
+class TestResumeEmaToggle:
+    """`ema_decay` toggled between a crash-save and the resume must not break
+    the restore (ADVICE r2): the shadow is re-seeded or dropped, with a note."""
+
+    def _state(self, ema):
+        import optax
+
+        from fewshot_vit_tpu.train.state import TrainState
+
+        v = {"params": {"w": jnp.full((2, 2), 3.0)}}
+        return TrainState.create(v, optax.sgd(1e-2), ema=ema)
+
+    def test_ema_enabled_after_save(self, tmp_path):
+        from fewshot_vit_tpu.train.state import resume_train_state
+
+        p = str(tmp_path / "resume")
+        save_variables(p, self._state(ema=False), {"epoch": 4, "ema": False})
+        state, meta, note = resume_train_state(p, self._state(ema=True))
+        assert meta["epoch"] == 4
+        assert note and "re-seeded" in note
+        np.testing.assert_array_equal(
+            np.asarray(state.ema_params["w"]), np.asarray(state.params["w"])
+        )
+
+    def test_ema_disabled_after_save(self, tmp_path):
+        from fewshot_vit_tpu.train.state import resume_train_state
+
+        p = str(tmp_path / "resume")
+        save_variables(p, self._state(ema=True), {"epoch": 2, "ema": True})
+        state, meta, note = resume_train_state(p, self._state(ema=False))
+        assert state.ema_params is None
+        assert note and "dropping" in note
+
+    def test_unchanged_setting_restores_plainly(self, tmp_path):
+        from fewshot_vit_tpu.train.state import resume_train_state
+
+        p = str(tmp_path / "resume")
+        save_variables(p, self._state(ema=True), {"epoch": 9, "ema": True})
+        state, meta, note = resume_train_state(p, self._state(ema=True))
+        assert note is None and meta["epoch"] == 9
+        np.testing.assert_array_equal(np.asarray(state.params["w"]),
+                                      np.full((2, 2), 3.0))
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchCheckpointIngestion:

@@ -73,15 +73,16 @@ class TestGridGeometryGolden:
             center += raw
         return out
 
-    def test_boxes_match_reference(self):
+    def test_boxes_match_reference_exactly(self):
+        """Integer truncation semantics are reproduced via jnp.floor, so box
+        edges are EXACT for any ratio — including non-divisible grids (80/3)
+        and fractional train-time ratios."""
         from fewshot_vit_tpu.data.patches import _grid_boxes
 
-        for size, ratio, g in [(80, 2.0, 2), (80, 2.0, 3), (84, 1.5, 3)]:
+        for size, ratio, g in [(80, 2.0, 2), (80, 2.0, 3), (84, 1.5, 3),
+                               (80, 1.37, 2), (80, 2.93, 3)]:
             lo, hi = _grid_boxes(size, g, ratio)
             want = self._reference_locations(size, ratio, g)
             for i, (wl, wh) in enumerate(want):
-                # ours keeps exact float box edges (needed for the traced
-                # train-time ratio); the reference floors intermediate values,
-                # drifting up to ~1.7px on non-divisible grids (80/3)
-                assert abs(float(lo[i]) - wl) <= 2.0, (size, ratio, g, i)
-                assert abs(float(hi[i]) - wh) <= 2.0, (size, ratio, g, i)
+                assert float(lo[i]) == wl, (size, ratio, g, i)
+                assert float(hi[i]) == wh, (size, ratio, g, i)

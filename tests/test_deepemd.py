@@ -120,6 +120,80 @@ class TestTorchMathParity:
         got = (np.asarray(sim_j) * flows.reshape(4, 3, 25, 25)).sum((-1, -2)) * (12.5 / 25)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
+    def test_pyramid_nodes_match_build_feature_pyramid(self, ref_net):
+        """pyramid_nodes == F.adaptive_avg_pool2d levels + raw map, in the
+        reference's order (Network.py:194-204) — incl. the non-divisible
+        5x5 -> 2x2 binning."""
+        import torch
+
+        from fewshot_vit_tpu.heads.deepemd import pyramid_nodes
+
+        x = np.random.default_rng(6).normal(size=(3, 16, 5, 5)).astype(np.float32)
+        ref_net.args.feature_pyramid = [2, 1]
+        try:
+            with torch.no_grad():
+                want = ref_net.build_feature_pyramid(torch.from_numpy(x))
+        finally:
+            ref_net.args.feature_pyramid = None
+        # torch (B, C, 1, N) -> (B, N, C)
+        want = want.numpy().squeeze(2).transpose(0, 2, 1)
+        got = pyramid_nodes(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), [2, 1]
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def test_pyramid_logits_match_cv2_pipeline(self, ref_net):
+        """End-to-end DeepEMD logits WITH feature_pyramid=[2,1] (30 nodes):
+        our pyramid nodes + weights/similarity + exact flows vs a faithful
+        CPU re-run of the reference pipeline."""
+        import cv2
+        import torch
+
+        from fewshot_vit_tpu.heads.deepemd import pyramid_nodes
+        from fewshot_vit_tpu.native.emd import emd_exact
+
+        p = np.random.default_rng(14).normal(size=(3, 16, 5, 5)).astype(np.float32)
+        q = np.random.default_rng(15).normal(size=(4, 16, 5, 5)).astype(np.float32)
+
+        # reference: build_feature_pyramid -> (B, C, 1, 30) node maps
+        ref_net.args.feature_pyramid = [2, 1]
+        try:
+            with torch.no_grad():
+                tp = ref_net.build_feature_pyramid(torch.from_numpy(p))
+                tq = ref_net.build_feature_pyramid(torch.from_numpy(q))
+                w1 = ref_net.get_weight_vector(tq, tp)  # (Q, way, 30)
+                w2 = ref_net.get_weight_vector(tp, tq)
+                sim = ref_net.get_similiarity_map(
+                    ref_net.normalize_feature(tp), ref_net.normalize_feature(tq)
+                ).numpy()  # (Q, way, 30, 30)
+        finally:
+            ref_net.args.feature_pyramid = None
+        n = sim.shape[-1]
+        want = np.zeros((4, 3))
+        for i in range(4):
+            for j in range(3):
+                ww1 = np.maximum(w1[i, j].numpy(), 0) + 1e-5
+                ww2 = np.maximum(w2[j, i].numpy(), 0) + 1e-5
+                ww1 = (ww1 * len(ww1) / ww1.sum()).astype(np.float32).reshape(-1, 1)
+                ww2 = (ww2 * len(ww2) / ww2.sum()).astype(np.float32).reshape(-1, 1)
+                _, _, flow = cv2.EMD(ww1, ww2, cv2.DIST_USER,
+                                     (1 - sim[i, j]).astype(np.float32))
+                want[i, j] = (sim[i, j] * flow).sum() * (12.5 / n)
+
+        p_nodes = pyramid_nodes(jnp.asarray(p.transpose(0, 2, 3, 1)), [2, 1])
+        q_nodes = pyramid_nodes(jnp.asarray(q.transpose(0, 2, 3, 1)), [2, 1])
+        assert p_nodes.shape == (3, 30, 16)
+        wq = normalize_weights(weight_vector(q_nodes, p_nodes))
+        wp = normalize_weights(jnp.swapaxes(weight_vector(p_nodes, q_nodes), 0, 1))
+        sim_j = similarity_map(center_normalize(p_nodes), center_normalize(q_nodes))
+        flows, _ = emd_exact(
+            np.asarray(1 - sim_j).reshape(12, n, n),
+            np.asarray(wq).reshape(12, n),
+            np.asarray(wp).reshape(12, n),
+        )
+        got = (np.asarray(sim_j) * flows.reshape(4, 3, n, n)).sum((-1, -2)) * (12.5 / n)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
 
 class TestHeadAndSFC:
     def test_sinkhorn_logits_shapes_and_ranking(self):
@@ -163,6 +237,26 @@ class TestHeadAndSFC:
         assert refined.shape == proto0.shape
         assert support_acc(refined) >= support_acc(proto0)
 
+    def test_pyramid_divisible_grid_is_reshape_mean(self):
+        """Adaptive avg-pool on a divisible grid == plain reshape-mean (the
+        integer-grid special case called out in VERDICT r2 #2)."""
+        from fewshot_vit_tpu.heads.deepemd import pyramid_nodes
+
+        x = np.random.default_rng(12).normal(size=(2, 4, 4, 8)).astype(np.float32)
+        got = np.asarray(pyramid_nodes(jnp.asarray(x), [2, 1]))
+        want2 = x.reshape(2, 2, 2, 2, 2, 8).mean((2, 4)).reshape(2, 4, 8)
+        want1 = x.mean((1, 2), keepdims=False).reshape(2, 1, 8)
+        np.testing.assert_allclose(got[:, :4], want2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got[:, 4:5], want1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got[:, 5:], x.reshape(2, 16, 8), rtol=1e-6)
+
+    def test_encode_nodes_pyramid_shape(self):
+        head = DeepEMD(encoder=TinyEncoder(), feature_pyramid=(2, 1))
+        v = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        nodes = head.apply(v, jnp.zeros((3, 16, 16, 3)), method=head.encode_nodes)
+        # 2x2 dense map -> levels 4 + 1, then the raw 4 nodes last
+        assert nodes.shape == (3, 9, 16)
+
     def test_encode_nodes_patches(self):
         head = DeepEMD(encoder=TinyEncoder())
         x5 = jnp.zeros((3, 4, 16, 16, 3))
@@ -171,6 +265,17 @@ class TestHeadAndSFC:
         assert nodes.shape == (3, 4, 16)
         dense_nodes = head.apply(v, jnp.zeros((3, 16, 16, 3)), method=head.encode_nodes)
         assert dense_nodes.shape == (3, 4, 16)  # 2x2 dense map -> 4 nodes
+
+
+class TestSolverNaming:
+    def test_legacy_opencv_alias_warns_and_resolves(self):
+        with pytest.warns(UserWarning, match="legacy alias"):
+            head = models.make("deepemd", encoder="convnet4", solver="opencv")
+        assert head.solver == "sinkhorn_detached"
+
+    def test_unknown_solver_rejected(self):
+        with pytest.raises(ValueError, match="unknown solver"):
+            models.make("deepemd", encoder="convnet4", solver="simplex")
 
 
 class TestPatchPipelines:
@@ -189,6 +294,44 @@ class TestPatchPipelines:
         fn = jax.jit(lambda im, r: grid_patches(im, (2, 3), r, 80))
         out = fn(x, jnp.asarray(1.7))
         assert out.shape == (1, 13, 80, 80, 3)
+
+    def test_grid_per_image_per_level_ratio(self):
+        """Train-mode grid: each image and each pyramid level gets its OWN
+        U[1,3) ratio (reference get_pyramid draws per __getitem__ per level).
+        Two identical images in a batch must come out geometrically
+        different, and so must the two levels of one image."""
+        from fewshot_vit_tpu.train.meta_tune_emd import make_patch_fn
+
+        img = np.random.default_rng(3).integers(0, 255, (80, 80, 3))
+        batch = jnp.asarray(np.stack([img, img]), jnp.uint8)  # identical pair
+        fn = make_patch_fn("grid", [2, 3], 9, 2.0, 80, train=True)
+        out = np.asarray(fn(batch, jax.random.key(0)))
+        assert out.shape == (2, 13, 80, 80, 3)
+        # identical inputs, different per-image ratios -> different patches
+        assert np.abs(out[0] - out[1]).max() > 1.0
+        # explicit per-image, per-level ratios steer geometry independently
+        r = jnp.asarray([[1.0, 2.5], [2.5, 1.0]])
+        out2 = np.asarray(grid_patches(batch, (2, 3), r, 80))
+        base1 = np.asarray(grid_patches(batch[:1], (2, 3), 1.0, 80))[0]
+        base25 = np.asarray(grid_patches(batch[:1], (2, 3), 2.5, 80))[0]
+        np.testing.assert_allclose(out2[0, :4], base1[:4], atol=1e-3)   # lvl0 r=1
+        np.testing.assert_allclose(out2[0, 4:], base25[4:], atol=1e-3)  # lvl1 r=2.5
+        np.testing.assert_allclose(out2[1, :4], base25[:4], atol=1e-3)
+        np.testing.assert_allclose(out2[1, 4:], base1[4:], atol=1e-3)
+
+    def test_grid_train_ratio_distribution_matches_reference(self):
+        """draw_grid_ratios stats match the reference's 1+2*random.random():
+        iid U[1,3) per (image, level)."""
+        from fewshot_vit_tpu.data.patches import draw_grid_ratios
+
+        r = np.asarray(draw_grid_ratios(jax.random.key(1), 4000, 2))
+        assert r.shape == (4000, 2)
+        assert 1.0 <= r.min() and r.max() < 3.0
+        assert abs(r.mean() - 2.0) < 0.03            # U[1,3) mean
+        assert abs(r.var() - (4.0 / 12.0)) < 0.02    # U[1,3) var = 1/3
+        # independence across images and levels: correlations ~ 0
+        assert abs(np.corrcoef(r[:, 0], r[:, 1])[0, 1]) < 0.05
+        assert abs(np.corrcoef(r[:-1, 0], r[1:, 0])[0, 1]) < 0.05
 
     def test_sampling(self):
         x = jnp.zeros((2, 80, 80, 3), jnp.uint8)

@@ -21,6 +21,21 @@ from fewshot_vit_tpu.eval.episodic import (
 from fewshot_vit_tpu.heads import MetaBaseline, TokenLabel, TokenLabelEpisodic
 from fewshot_vit_tpu.ops.metric import compute_logits
 
+from . import ref_loader
+
+
+class IdentityEncoder(nn.Module):
+    """Pass-through (dense=input NHWC, pooled=spatial mean) — lets head math
+    be compared module-vs-module with a torch twin, no weights involved."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return x, jnp.mean(x, axis=(1, 2))
+
+    @property
+    def out_dim(self):
+        return 3
+
 
 class TinyEncoder(nn.Module):
     """Minimal (dense, pooled) encoder for fast tests."""
@@ -83,6 +98,85 @@ class TestTokenLabel:
         local, cls = head.apply(variables, xs, xq)
         assert local.shape == (2, 15, 5)
         assert cls.shape == (2, 15, 5)
+
+    def test_local_logits_match_numpy_mirror(self):
+        """Golden anchor for the local top-1 matching branch (the reference's
+        code at sun_meta_training/models/token_label.py:89 is broken dead
+        research — see the head docstring — so the *intended* math is pinned
+        against an independent numpy mirror): per query patch, best cosine
+        over ALL support patches of a class, averaged over query patches."""
+        rng = np.random.default_rng(5)
+        e, way, shot, q, hw = 2, 3, 2, 4, 4
+        xs = rng.normal(size=(e, way, shot, hw, hw, 3)).astype(np.float32)
+        xq = rng.normal(size=(e, q, hw, hw, 3)).astype(np.float32)
+
+        head = TokenLabelEpisodic(encoder=IdentityEncoder())
+        v = head.init(jax.random.key(0), jnp.asarray(xs), jnp.asarray(xq))
+        local, cls = head.apply(v, jnp.asarray(xs), jnp.asarray(xq))
+
+        def norm(a):
+            return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+        t = hw * hw
+        feat_s = xs.reshape(e, way, shot * t, 3)
+        feat_q = xq.reshape(e, q, t, 3)
+        want_local = np.zeros((e, q, way), np.float32)
+        for ei in range(e):
+            for qi in range(q):
+                for ni in range(way):
+                    sims = norm(feat_q[ei, qi]) @ norm(feat_s[ei, ni]).T
+                    want_local[ei, qi, ni] = sims.max(-1).mean()
+        np.testing.assert_allclose(np.asarray(local), want_local,
+                                   rtol=1e-5, atol=1e-5)
+        # cls branch mirror: cosine of pooled query vs shot-mean prototype, x10
+        pooled_s = xs.mean((3, 4)).mean(2)  # (E, way, 3)
+        pooled_q = xq.mean((2, 3))  # (E, q, 3)
+        want_cls = 10.0 * np.einsum(
+            "eqc,ewc->eqw", norm(pooled_q), norm(pooled_s))
+        np.testing.assert_allclose(np.asarray(cls), want_cls, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.slow
+    @pytest.mark.skipif(not ref_loader.available(),
+                        reason="reference/torch not available")
+    def test_cls_logits_match_reference_cls_path(self):
+        """Anchor the cls-logits branch against the reference's OWN code.
+
+        The full reference forward (sun_meta_training/models/token_label.py:
+        74-106) cannot run for ANY input rank: the local branch (:89-95) only
+        typechecks with a 5-dim flat query while the cls reshape (:103)
+        assumes a 6-dim (b, way, q_per) query — verified by execution. The
+        cls-path lines themselves (:98-106: shot-mean -> F.normalize -> the
+        reference's utils.compute_logits, metric='dot', temp=10) are
+        well-defined at the rank they assume, so they are executed verbatim
+        here and compared to our head (VERDICT r2 #10)."""
+        import torch
+        import torch.nn.functional as F
+
+        tp = ref_loader.load_test_phase()  # the reference utils.compute_logits
+
+        rng = np.random.default_rng(6)
+        e, way, shot, qper, hw = 2, 3, 2, 4, 4
+        xs = rng.normal(size=(e, way, shot, hw, hw, 3)).astype(np.float32)
+        xq = rng.normal(size=(e, way, qper, hw, hw, 3)).astype(np.float32)
+
+        # reference cls path (token_label.py:85,96-106) with the identity
+        # encoder's pooled features (spatial mean)
+        with torch.no_grad():
+            ps = torch.from_numpy(xs.mean((3, 4)))  # (e, way, shot, c)
+            pq = torch.from_numpy(xq.mean((3, 4)))  # (e, way, qper, c)
+            x_shot = ps.mean(dim=-2)  # :98
+            x_query = pq.reshape(pq.size(0), pq.size(1) * pq.size(2), -1)  # :103
+            x_shot = F.normalize(x_shot, dim=-1)  # :100
+            x_query = F.normalize(x_query, dim=-1)  # :101
+            want_cls = tp.utils.compute_logits(
+                x_query, x_shot, metric="dot", temp=10.0)  # :104-105
+
+        head = TokenLabelEpisodic(encoder=IdentityEncoder())
+        xq_flat = jnp.asarray(xq.reshape(e, way * qper, hw, hw, 3))
+        v = head.init(jax.random.key(0), jnp.asarray(xs), xq_flat)
+        _, cls = head.apply(v, jnp.asarray(xs), xq_flat)
+        np.testing.assert_allclose(np.asarray(cls), want_cls.numpy(),
+                                   rtol=1e-4, atol=1e-5)
 
 
 class TestSampler:

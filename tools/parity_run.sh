@@ -1,0 +1,80 @@
+#!/usr/bin/env bash
+# Published-number parity drill (VERDICT r2 #9 / BASELINE.md).
+#
+# The flagship claim — reproducing the reference's released-checkpoint
+# miniImageNet numbers (README.md:55-59: 1-shot 67.80 +- 0.45, 5-shot
+# 83.25 +- 0.28, 2000 episodes) — needs data this box does not have. This
+# script makes the run one command away the moment it exists: drop into
+# ./materials
+#   * miniImageNet_category_split_test.pickle   (data link: reference README.md:36-47)
+#   * the released SUN-M Visformer checkpoints, named
+#       max-va-1shot.pth   and   max-va-5shot.pth
+# then:  bash tools/parity_run.sh [materials_dir]
+#
+# Exit 0 iff BOTH measured accuracies fall inside the published CI bars.
+# Everything upstream of this run is already parity-tested without the data:
+# the pickle loader geometry, the .pth converter (logit-exact on reference
+# models), and the episode protocol (tests/test_protocol_parity.py).
+set -euo pipefail
+
+cd "$(dirname "$0")/.."
+MATERIALS="${1:-./materials}"
+
+PICKLE="$MATERIALS/miniImageNet_category_split_test.pickle"
+CKPT1="$MATERIALS/max-va-1shot.pth"
+CKPT5="$MATERIALS/max-va-5shot.pth"
+
+missing=0
+for f in "$PICKLE" "$CKPT1" "$CKPT5"; do
+  if [ ! -f "$f" ]; then
+    echo "MISSING: $f"
+    missing=1
+  fi
+done
+if [ "$missing" = 1 ]; then
+  echo "parity_run: materials incomplete (see header of this script); aborting." >&2
+  exit 2
+fi
+
+run_shot() {
+  local shot="$1" ckpt="$2"
+  python - "$shot" "$ckpt" "$MATERIALS" <<'PY'
+import re
+import subprocess
+import sys
+import tempfile
+
+shot, ckpt, materials = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+cfg = tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False)
+cfg.write(f"""
+dataset: mini-imagenet
+dataset_args: {{root_path: {materials}, split: test}}
+encoder: visformer_micro_80
+load: {ckpt}
+""")
+cfg.close()
+out = subprocess.run(
+    [sys.executable, "-m", "fewshot_vit_tpu.eval.run", "--config", cfg.name,
+     "--shot", str(shot), "--episodes", "2000"],
+    capture_output=True, text=True, timeout=7200,
+)
+sys.stderr.write(out.stderr[-2000:])
+print(out.stdout, end="")
+if out.returncode != 0:
+    sys.exit(out.returncode)
+m = re.search(r"acc=([0-9.]+) \+- ([0-9.]+)", out.stdout)
+if not m:
+    sys.exit(f"no acc line in output:\n{out.stdout}")
+acc, ci = float(m.group(1)), float(m.group(2))
+want, bar = (67.80, 0.45) if shot == 1 else (83.25, 0.28)
+ok = abs(acc - want) <= bar + ci  # CI bars of both runs overlap the claim
+print(f"{shot}-shot: measured {acc:.2f} +- {ci:.2f} | published {want:.2f} +- {bar:.2f} "
+      f"| {'PASS' if ok else 'FAIL'}")
+sys.exit(0 if ok else 1)
+PY
+}
+
+status=0
+run_shot 1 "$CKPT1" || status=1
+run_shot 5 "$CKPT5" || status=1
+exit $status
