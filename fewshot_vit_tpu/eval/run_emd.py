@@ -5,6 +5,13 @@ accuracy with 95% CI (default 2000 1-shot / 600 5-shot episodes,
 ``meta_tuning_sun_d/README.md:36-39``), SFC for shot>1, grid/sampling/fcn
 patch modes. The whole eval is one scan program on device.
 
+``--cached``: for the deterministic eval pipelines (grid with fixed
+``patch_ratio``, fcn) the protocol recomputes the SAME node features for an
+image every time it appears in an episode; caching encodes each image's
+nodes once and gathers them per episode — identical logits (frozen BN eval
+forward), encoder work drops from O(episodes x 80 images) to O(dataset).
+``sampling`` draws random crops per episode, so it is not cacheable.
+
 Run: ``python -m fewshot_vit_tpu.eval.run_emd --config configs/sund_mini_visformer_1shot.yaml --shot 1``
 """
 
@@ -28,6 +35,59 @@ from ..train.runner import build_dataset, load_encoder_from_checkpoint
 from .episodic import sub_variables
 
 
+def make_emd_node_cache_fn(head, patch_fn, mean, std, batch: int = 128):
+    """jit: (variables, images u8 (N, H, W, 3)) -> node features (N, Nn, C).
+
+    Encodes every image ONCE through the (deterministic) eval patch pipeline;
+    valid for grid/fcn where eval patches are a fixed function of the image."""
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+
+    @jax.jit
+    def encode_all(variables, images):
+        n = images.shape[0]
+        n_batches = -(-n // batch)
+        starts = jnp.arange(n_batches) * batch
+
+        def body(carry, start):
+            idx = jnp.minimum(start + jnp.arange(batch), n - 1)
+            x = patch_fn(images[idx], jax.random.key(0))
+            x = (x / 255.0 - mean_a) / std_a
+            nodes = head.apply(variables, x, False, method=head.encode_nodes)
+            return carry, nodes
+
+        _, nodes = jax.lax.scan(body, None, starts)
+        return nodes.reshape((-1,) + nodes.shape[2:])[:n]
+
+    return encode_all
+
+
+def make_emd_cached_episode_fn(head, way: int, shot: int, sfc: bool, sfc_kw=None):
+    """(variables, ep_nodes (way*(shot+query), Nn, C), rng) -> logits.
+
+    The cached twin of ``train.meta_tune_emd.make_emd_episode_fn`` (same
+    interleaved layout, shot-mean prototypes, SFC for shot>1, EMD matching) —
+    minus the encoder, which already ran in ``make_emd_node_cache_fn``."""
+    from ..heads.deepemd import sfc_refine
+
+    sfc_kw = dict(sfc_kw or {})
+
+    def fn(variables, ep_nodes, rng):
+        # same rng split as make_emd_episode_fn (k1 fed the patch pipeline
+        # there; k2 drives SFC) so cached == uncached bit-for-bit in the SFC
+        # mini-batch shuffles too
+        _, k2 = jax.random.split(rng)
+        k = way * shot
+        shot_nodes = ep_nodes[:k].reshape(shot, way, *ep_nodes.shape[1:])
+        proto = shot_nodes.mean(axis=0)
+        query_nodes = ep_nodes[k:]
+        if sfc and shot > 1:
+            proto = sfc_refine(proto, ep_nodes[:k], way, shot, k2, **sfc_kw)
+        return head.apply(variables, proto, query_nodes, method=head.meta)
+
+    return fn
+
+
 def main():
     p = argparse.ArgumentParser(description="SUN-D DeepEMD eval")
     p.add_argument("--config", required=True)
@@ -36,6 +96,9 @@ def main():
     p.add_argument("--ep-per-batch", type=int, default=4)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (EMD math stays fp32)")
+    p.add_argument("--cached", action="store_true",
+                   help="encode each image's nodes once (grid/fcn only; "
+                        "identical logits, ~encoder-free episodes)")
     args = p.parse_args()
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
@@ -93,19 +156,46 @@ def main():
            .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
     images_dev = jax.device_put(ds.images)
 
-    @jax.jit
-    def run(variables, images, idx, rng):
-        def body(carry, scan_in):
-            idx_e, i = scan_in
-            logits = episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
-            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-            return carry, acc
+    if args.cached:
+        if mode == "sampling":
+            raise SystemExit("--cached requires deterministic eval patches "
+                             "(grid/fcn); 'sampling' re-crops per episode")
+        encode_all = make_emd_node_cache_fn(head, patch_fn, ds.mean, ds.std)
+        nodes_dev = encode_all(variables, images_dev)
+        cached_fn = make_emd_cached_episode_fn(
+            head, way, shot, sfc=shot > 1,
+            sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
+                    "lr": float(cfg.get("sfc_lr", 0.1)),
+                    "batch_size": int(cfg.get("sfc_bs", 4))},
+        )
 
-        _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
-        return accs
+        @jax.jit
+        def run(variables, nodes, idx, rng):
+            def body(carry, scan_in):
+                idx_e, i = scan_in
+                logits = cached_fn(variables, nodes[idx_e], jax.random.fold_in(rng, i))
+                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+                return carry, acc
 
-    accs = np.asarray(run(variables, images_dev, jnp.asarray(idx),
-                          rng_mod.root_key(rng_mod.DEFAULT_SEED)))
+            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
+            return accs
+
+        accs = np.asarray(run(variables, nodes_dev, jnp.asarray(idx),
+                              rng_mod.root_key(rng_mod.DEFAULT_SEED)))
+    else:
+        @jax.jit
+        def run(variables, images, idx, rng):
+            def body(carry, scan_in):
+                idx_e, i = scan_in
+                logits = episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
+                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+                return carry, acc
+
+            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
+            return accs
+
+        accs = np.asarray(run(variables, images_dev, jnp.asarray(idx),
+                              rng_mod.root_key(rng_mod.DEFAULT_SEED)))
     m, h = mean_confidence_interval(accs)
     print(f"{way}-way {shot}-shot ({mode}): acc={m * 100:.2f} +- {h * 100:.2f} (%)  [{n_episodes} episodes]")
 

@@ -76,9 +76,11 @@ class TestPrecisionParity:
         episode set (identical params + identical episodes; VERDICT r2 #5)."""
         env = _clean_env()
         env["PRECHECK_EPISODES"] = "512"
+        env["PRECHECK_EPB"] = "128"  # the bench's headline ep_per_batch
+        # generous: the axon remote-compile path is minutes-per-program cold
         out = subprocess.run(
             [sys.executable, os.path.join("tools", "precision_check.py")],
-            capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
+            capture_output=True, text=True, timeout=3600, env=env, cwd=REPO,
         )
         assert out.returncode == 0, out.stderr[-1500:]
         d = json.loads(out.stdout.strip().splitlines()[-1])
@@ -86,6 +88,33 @@ class TestPrecisionParity:
         # so the comparison is meaningful rather than tie-dominated
         assert d["acc_fp32"] > 0.3, d
         assert d["abs_diff"] <= 0.005, d
+
+
+class TestLearningQuality:
+    def test_three_phase_pipeline_learns_transfer(self, accelerator):
+        """The full 3-phase pipeline (CE pretrain -> SUN token labeling ->
+        Meta-Baseline tune, visformer_micro_80) on `synthetic-local` data must
+        yield 5-way 1-shot accuracy on DISJOINT novel classes far above both
+        chance (0.2) and the untrained encoder — and each phase must hold or
+        improve on the previous one (VERDICT r2 #1: wiring bugs that merely
+        slow learning, not break it, must fail a test).
+
+        Measured on the TPU (defaults: 12/8/3 epochs, 200 eval episodes,
+        seed 12345): p0=0.227 p1=0.879 p2=0.889 p3=0.905. Thresholds leave
+        room for cross-platform float drift, not for degraded learning."""
+        out = subprocess.run(
+            [sys.executable, os.path.join("tools", "learning_probe.py")],
+            capture_output=True, text=True, timeout=3600, env=_clean_env(),
+            cwd=REPO,
+        )
+        assert out.returncode == 0, f"{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+        d = json.loads(out.stdout.strip().splitlines()[-1])
+        assert d["p0"] < 0.45, f"untrained baseline suspiciously high: {d}"
+        assert d["p1"] > 0.70, f"phase-1 pretraining failed to learn: {d}"
+        # measured SUN margin is +0.010; tolerance is for float drift only
+        assert d["p2"] >= d["p1"] - 0.02, f"phase-2 SUN degraded the encoder: {d}"
+        assert d["p3"] > 0.75, f"final pipeline accuracy too low: {d}"
+        assert d["p3"] > d["p0"] + 0.35, f"no transfer over untrained: {d}"
 
 
 class TestPipelineChain:

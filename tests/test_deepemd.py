@@ -357,6 +357,47 @@ class TestDifferentiableFlows:
         assert float(jnp.abs(g_stop - g_diff).max()) > 1e-6
 
 
+class TestCachedEval:
+    @pytest.mark.parametrize("mode,shot", [("fcn", 1), ("grid", 2)])
+    def test_cached_episode_logits_match_direct(self, mode, shot):
+        """--cached eval (encode each image's nodes once, gather per episode)
+        must produce the SAME logits as the protocol-faithful re-encode path:
+        eval patches are a deterministic function of the image for grid/fcn,
+        and the SFC rng split is mirrored."""
+        from fewshot_vit_tpu.eval.run_emd import (
+            make_emd_cached_episode_fn,
+            make_emd_node_cache_fn,
+        )
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_patch_fn,
+        )
+
+        way, query = 3, 4
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        patch_fn = make_patch_fn(mode, [2], 4, 2.0, 16, train=False)
+        mean = std = (0.5, 0.5, 0.5)
+        sfc_kw = {"steps": 3, "lr": 0.1, "batch_size": 4}
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.integers(0, 256, (40, 16, 16, 3)).astype(np.uint8))
+        idx = jnp.asarray(
+            rng.permutation(40)[: way * (shot + query)].astype(np.int32))
+
+        direct = make_emd_episode_fn(head, way, shot, query, patch_fn, mean, std,
+                                     sfc=shot > 1, sfc_kw=sfc_kw)
+        want = np.asarray(direct(variables, images[idx], jax.random.key(3)))
+
+        nodes = make_emd_node_cache_fn(head, patch_fn, mean, std, batch=16)(
+            variables, images)
+        cached = make_emd_cached_episode_fn(head, way, shot, sfc=shot > 1,
+                                            sfc_kw=sfc_kw)
+        got = np.asarray(cached(variables, nodes[idx], jax.random.key(3)))
+        # slack: the cache encodes in different batch groupings (XLA float
+        # reassociation), not a semantic difference
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
 class TestTaskBatching:
     def test_grad_accum_equals_vmap(self):
         """`grad_accum: true` (sequential scan, reference accumulation

@@ -144,8 +144,10 @@ def main():
             rows = [
                 ("baseline_group8", lambda: time_scan(baseline, x, jnp.asarray(wg, dtype))),
                 ("batch_group", lambda: time_scan(batch_group, x, jnp.asarray(wg, dtype))),
-                ("stencil_dense", lambda: time_scan(stencil, x, jnp.asarray(wd, dtype), False)),
-                ("stencil_block", lambda: time_scan(stencil, x, jnp.asarray(wb, dtype), True)),
+                ("stencil_dense", lambda: time_scan(
+                    lambda xx, ww: stencil(xx, ww, False), x, jnp.asarray(wd, dtype))),
+                ("stencil_block", lambda: time_scan(
+                    lambda xx, ww: stencil(xx, ww, True), x, jnp.asarray(wb, dtype))),
                 ("shared_smallconv*", lambda: time_scan(shared_smallconv, x, jnp.asarray(ws, dtype))),
             ]
             print(f"\n-- dtype={jnp.dtype(dtype).name} B={b} (20x20x256, g=8) --")

@@ -1,0 +1,140 @@
+"""End-to-end LEARNING-QUALITY probe: the full 3-phase pipeline on synthetic
+localized-signal data must produce real few-shot transfer (VERDICT r2 #1).
+
+Runs, in ONE process on the ambient accelerator:
+
+  p0  untrained encoder            -> episodic 5-way 1-shot acc on NOVEL classes
+  p1  phase-1 CE pretraining       -> acc of its encoder
+  p2  phase-2 SUN token labeling   -> acc of its encoder
+  p3  phase-3a Meta-Baseline tune  -> acc of the tuned head (max-va)
+
+Train classes and test classes are DISJOINT draws from the same generative
+family (`synthetic-local`, class_seed 0 vs 1), so the accuracies measure
+transfer, not memorization — the synthetic analogue of the reference's
+published-number practice (test_phase/test_few_shot.py:114-117).
+
+Prints one JSON line {"p0": ..., "p1": ..., "p2": ..., "p3": ...}.
+Scale knobs via env: LPROBE_EPOCHS1/2/3, LPROBE_EPISODES.
+
+The default-on test `tests/test_cli_integration.py::TestLearningQuality`
+asserts p3 beats chance and p0 by wide margins and p2 >= p1.
+"""
+
+import json
+import os
+import sys
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(save_root: str, epochs1: int = 12, epochs2: int = 8, epochs3: int = 3,
+        n_episodes: int = 200, seed: int = 12345) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from fewshot_vit_tpu.core import models, datasets
+    from fewshot_vit_tpu.core.config import Config
+    from fewshot_vit_tpu.core.rng import enable_compilation_cache
+    import fewshot_vit_tpu.models  # noqa: F401
+    import fewshot_vit_tpu.heads  # noqa: F401
+    import fewshot_vit_tpu.data.datasets  # noqa: F401
+    from fewshot_vit_tpu.checkpoint import load_variables
+    from fewshot_vit_tpu.eval.episodic import evaluate, sub_variables
+    from fewshot_vit_tpu.train import pretrain, sun, meta_tune
+    from fewshot_vit_tpu.train.runner import fs_eval
+
+    enable_compilation_cache()
+    enc_name = "visformer_micro_80"
+    train_args = {"n_classes": 16, "n_per_class": 200, "image_size": 80,
+                  "class_seed": 0, "seed": 0}
+    # novel classes (class_seed=1): same family, disjoint identities
+    test_ds = datasets.make("synthetic-local", n_classes=8, n_per_class=40,
+                            image_size=80, class_seed=1, seed=9)
+
+    def args_for(name):
+        return SimpleNamespace(name=name, tag=None, seed=seed,
+                               save_root=save_root, profile_dir=None)
+
+    def enc_acc(enc, enc_vars):
+        out = fs_eval(enc, enc_vars, test_ds, n_episodes=n_episodes,
+                      shots=(1,), seed=5)
+        return float(out["fsa-1"])
+
+    res = {}
+
+    # p0: untrained baseline
+    enc = models.make(enc_name)
+    with jax.default_device(jax.devices("cpu")[0]):
+        v0 = enc.init(jax.random.key(seed), jnp.zeros((1, 80, 80, 3)))
+    res["p0"] = enc_acc(enc, jax.device_put(v0))
+
+    # p1: CE pretraining (cropaug, cosine-warmup AdamW — the real wiring)
+    cfg1 = Config({
+        "train_dataset": "synthetic-local", "train_dataset_args": train_args,
+        "model": "classifier", "model_args": {"encoder": enc_name},
+        "batch_size": 128, "max_epoch": epochs1, "image_size": 80,
+        "augment": "cropaug",
+        "optimizer": "adamw",
+        "optimizer_args": {"lr": 1e-3, "weight_decay": 0.05,
+                           "schedule": "cosine", "warmup_epochs": 1},
+        "eval_fs_epoch": 0,
+    })
+    state1 = pretrain.main(cfg1, args_for("lp_p1"))
+    enc1 = models.make(enc_name)
+    res["p1"] = enc_acc(enc1, sub_variables(state1.variables, "encoder"))
+
+    # p2: SUN token-label meta-training from the p1 teacher
+    cfg2 = Config({
+        "train_dataset": "synthetic-local", "train_dataset_args": train_args,
+        "model": "token-label", "model_args": {"encoder": enc_name},
+        "load": os.path.join(save_root, "lp_p1", "epoch-last"),
+        "tl_soft_k": 3, "bg_token_num": 10, "token_label_weight": 0.5,
+        "batch_size": 128, "max_epoch": epochs2, "image_size": 80,
+        "optimizer": "adamw",
+        "optimizer_args": {"lr": 5e-4, "weight_decay": 0.05,
+                           "schedule": "cosine", "warmup_epochs": 1},
+        "eval_fs_epoch": 0,
+    })
+    state2 = sun.main(cfg2, args_for("lp_p2"))
+    res["p2"] = enc_acc(enc1, sub_variables(state2.variables, "encoder"))
+
+    # p3: Meta-Baseline episodic tuning from the p2 encoder
+    cfg3 = Config({
+        "train_dataset": "synthetic-local", "train_dataset_args": train_args,
+        "val_dataset": "synthetic-local",
+        "val_dataset_args": {**train_args, "seed": 4},
+        "model": "meta-baseline", "model_args": {"encoder": enc_name},
+        "load_encoder": os.path.join(save_root, "lp_p2", "epoch-last"),
+        "n_way": 5, "n_shot": 1, "n_query": 10,
+        "n_train_way": 5, "n_train_query": 10,
+        "ep_per_batch": 4, "train_batches": 50, "max_epoch": epochs3,
+        "optimizer": "sgd", "optimizer_args": {"lr": 1e-3},
+        "val_episodes": 100,
+    })
+    meta_tune.main(cfg3, args_for("lp_p3"))
+    head3 = models.make("meta-baseline", encoder=enc_name)
+    best3, _ = load_variables(os.path.join(save_root, "lp_p3", "max-va"))
+    acc3, _, _ = evaluate(head3, jax.device_put(best3), test_ds,
+                          n_episodes=n_episodes, way=5, shot=1, query=15,
+                          ep_per_batch=8, seed=5)
+    res["p3"] = float(acc3)
+    return {k: round(v, 4) for k, v in res.items()}
+
+
+def main():
+    import tempfile
+
+    save_root = os.environ.get("LPROBE_SAVE") or tempfile.mkdtemp(prefix="lprobe_")
+    res = run(
+        save_root,
+        epochs1=int(os.environ.get("LPROBE_EPOCHS1", 12)),
+        epochs2=int(os.environ.get("LPROBE_EPOCHS2", 8)),
+        epochs3=int(os.environ.get("LPROBE_EPOCHS3", 3)),
+        n_episodes=int(os.environ.get("LPROBE_EPISODES", 200)),
+    )
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
