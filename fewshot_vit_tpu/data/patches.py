@@ -34,15 +34,35 @@ def draw_grid_ratios(key: jax.Array, batch: int, n_levels: int) -> jax.Array:
     return 1.0 + 2.0 * jax.random.uniform(key, (batch, n_levels))
 
 
+def _grid_boxes_exact(size: int, num_grid: int, ratio: float):
+    """Host-side float64/int replica of the reference ``get_grid_location``
+    (``grid/mini_imagenet.py:78-98``) for a STATIC ratio (the eval path's
+    fixed ``patch_ratio``). Bit-exact including the boundary cases where
+    ``size/g*ratio`` lands on an integer (e.g. 80/3*1.8 -> 48), which a
+    float32 reproduction truncates one low. Returns (lo, hi) numpy (g,)."""
+    import numpy as np
+
+    raw = int(size / num_grid)
+    enlarged = int(size / num_grid * ratio)
+    half = enlarged // 2
+    centers = raw // 2 + raw * np.arange(num_grid)
+    lo = np.maximum(0, centers - half).astype(np.float32)
+    hi = np.minimum(size, centers + half).astype(np.float32)
+    return lo, hi
+
+
 def _grid_boxes(size: int, num_grid: int, ratio) -> Tuple[jax.Array, jax.Array]:
     """Start/end coordinates of ``num_grid`` enlarged cells along one axis,
     reproducing the reference ``get_grid_location`` INTEGER arithmetic
-    exactly (``grid/mini_imagenet.py:78-98``): raw cell = int(size/g),
+    (``grid/mini_imagenet.py:78-98``): raw cell = int(size/g),
     enlarged = int(size/g*ratio), centers at raw//2 + raw*i, box =
     (max(0, c - enlarged//2), min(size, c + enlarged//2)).
 
     ``ratio`` may be a scalar or a traced array (leading per-image dims);
-    the integer truncations become ``jnp.floor`` (all quantities >= 0).
+    the integer truncations become ``jnp.floor`` (all quantities >= 0) in
+    float32 — exact except when ``size/g*ratio`` lands within f32 rounding
+    of an integer, a measure-zero event for the train-time U[1,3) draws
+    this traced path serves (static eval ratios take ``_grid_boxes_exact``).
     Returns (lo, hi) shaped ``ratio.shape + (num_grid,)``.
     """
     raw = int(size / num_grid)
@@ -68,13 +88,16 @@ def grid_patches(
     from ``draw_grid_ratios``); either may be traced."""
     b, h, w = images.shape[:3]
     imgs = images.astype(jnp.float32)
-    ratio = jnp.asarray(ratio, jnp.float32)
-    if ratio.ndim == 0:
-        ratio = jnp.broadcast_to(ratio, (b, len(patch_list)))
-    if ratio.shape != (b, len(patch_list)):
-        raise ValueError(
-            f"ratio shape {ratio.shape} != ({b}, {len(patch_list)}) (B, n_levels)"
-        )
+    # static scalar ratio (eval's fixed patch_ratio): exact host integer math
+    static_ratio = float(ratio) if isinstance(ratio, (int, float)) else None
+    if static_ratio is None:
+        ratio = jnp.asarray(ratio, jnp.float32)
+        if ratio.ndim == 0:
+            ratio = jnp.broadcast_to(ratio, (b, len(patch_list)))
+        if ratio.shape != (b, len(patch_list)):
+            raise ValueError(
+                f"ratio shape {ratio.shape} != ({b}, {len(patch_list)}) (B, n_levels)"
+            )
 
     def crop(im, sy, sx, y0, x0):
         return jax.image.scale_and_translate(
@@ -85,9 +108,15 @@ def grid_patches(
 
     patches = []
     for li, g in enumerate(patch_list):
-        r = ratio[:, li]  # (B,)
-        lo_y, hi_y = _grid_boxes(h, g, r)  # (B, g)
-        lo_x, hi_x = _grid_boxes(w, g, r)
+        if static_ratio is not None:
+            ly, hy = _grid_boxes_exact(h, g, static_ratio)  # (g,)
+            lx, hx = _grid_boxes_exact(w, g, static_ratio)
+            lo_y, hi_y = (jnp.broadcast_to(jnp.asarray(a), (b, g)) for a in (ly, hy))
+            lo_x, hi_x = (jnp.broadcast_to(jnp.asarray(a), (b, g)) for a in (lx, hx))
+        else:
+            r = ratio[:, li]  # (B,)
+            lo_y, hi_y = _grid_boxes(h, g, r)  # (B, g)
+            lo_x, hi_x = _grid_boxes(w, g, r)
         for i in range(g):
             for j in range(g):
                 y0, y1 = lo_y[:, i], hi_y[:, i]

@@ -88,6 +88,36 @@ def make_emd_cached_episode_fn(head, way: int, shot: int, sfc: bool, sfc_kw=None
     return fn
 
 
+def make_emd_eval_run_fn(episode_fn, labels):
+    """One jitted eval program shared by the direct and cached paths:
+    ``(variables, data, idx (n_batches, epb, ep_len), rng) -> accs (flat)``.
+
+    Scans episode batches; within a batch the episodes are vmapped, so the
+    encoder sees ``ep_per_batch`` episodes of patches at once. The per-episode
+    rng is folded by GLOBAL episode index, so accuracies are identical for
+    any ``--ep-per-batch`` grouping."""
+
+    v_fn = jax.vmap(episode_fn, in_axes=(None, 0, 0))
+
+    @jax.jit
+    def run(variables, data, idx, rng):
+        epb = idx.shape[1]
+
+        def body(carry, scan_in):
+            idx_b, b = scan_in
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                rng, b * epb + jnp.arange(epb))
+            logits = v_fn(variables, data[idx_b], keys)  # (epb, w*q, way)
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32),
+                           axis=-1)
+            return carry, acc
+
+        _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
+        return accs.reshape(-1)
+
+    return run
+
+
 def main():
     p = argparse.ArgumentParser(description="SUN-D DeepEMD eval")
     p.add_argument("--config", required=True)
@@ -141,12 +171,9 @@ def main():
     patch_fn = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                              int(cfg.get("num_patch", 9)),
                              float(cfg.get("patch_ratio", 2.0)), img, False)
-    episode_fn = make_emd_episode_fn(
-        head, way, shot, query, patch_fn, ds.mean, ds.std,
-        sfc=shot > 1, sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
-                              "lr": float(cfg.get("sfc_lr", 0.1)),
-                              "batch_size": int(cfg.get("sfc_bs", 4))},
-    )
+    sfc_kw = {"steps": int(cfg.get("sfc_update_step", 100)),
+              "lr": float(cfg.get("sfc_lr", 0.1)),
+              "batch_size": int(cfg.get("sfc_bs", 4))}
     labels = jnp.tile(jnp.arange(way), query)
 
     sampler = EpisodeSampler(ds.labels, n_episodes, way, shot + query, 1)
@@ -154,6 +181,13 @@ def main():
     idx = np.stack(list(sampler.epoch(rng)))
     idx = (idx.reshape(n_episodes, way, shot + query)
            .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
+    # group episodes into ep-per-batch vmapped chunks (pad by repeating the
+    # last episode; padded accs are truncated below)
+    epb = max(1, args.ep_per_batch)
+    n_pad = (-n_episodes) % epb
+    if n_pad:
+        idx = np.concatenate([idx, np.repeat(idx[-1:], n_pad, axis=0)])
+    idx = idx.reshape(-1, epb, idx.shape[-1])
     images_dev = jax.device_put(ds.images)
 
     if args.cached:
@@ -161,41 +195,17 @@ def main():
             raise SystemExit("--cached requires deterministic eval patches "
                              "(grid/fcn); 'sampling' re-crops per episode")
         encode_all = make_emd_node_cache_fn(head, patch_fn, ds.mean, ds.std)
-        nodes_dev = encode_all(variables, images_dev)
-        cached_fn = make_emd_cached_episode_fn(
-            head, way, shot, sfc=shot > 1,
-            sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
-                    "lr": float(cfg.get("sfc_lr", 0.1)),
-                    "batch_size": int(cfg.get("sfc_bs", 4))},
-        )
-
-        @jax.jit
-        def run(variables, nodes, idx, rng):
-            def body(carry, scan_in):
-                idx_e, i = scan_in
-                logits = cached_fn(variables, nodes[idx_e], jax.random.fold_in(rng, i))
-                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-                return carry, acc
-
-            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
-            return accs
-
-        accs = np.asarray(run(variables, nodes_dev, jnp.asarray(idx),
-                              rng_mod.root_key(rng_mod.DEFAULT_SEED)))
+        data_dev = encode_all(variables, images_dev)
+        ep_fn = make_emd_cached_episode_fn(head, way, shot, sfc=shot > 1,
+                                           sfc_kw=sfc_kw)
     else:
-        @jax.jit
-        def run(variables, images, idx, rng):
-            def body(carry, scan_in):
-                idx_e, i = scan_in
-                logits = episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
-                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-                return carry, acc
-
-            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
-            return accs
-
-        accs = np.asarray(run(variables, images_dev, jnp.asarray(idx),
-                              rng_mod.root_key(rng_mod.DEFAULT_SEED)))
+        data_dev = images_dev
+        ep_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                    ds.mean, ds.std, sfc=shot > 1,
+                                    sfc_kw=sfc_kw)
+    run = make_emd_eval_run_fn(ep_fn, labels)
+    accs = np.asarray(run(variables, data_dev, jnp.asarray(idx),
+                          rng_mod.root_key(rng_mod.DEFAULT_SEED)))[:n_episodes]
     m, h = mean_confidence_interval(accs)
     print(f"{way}-way {shot}-shot ({mode}): acc={m * 100:.2f} +- {h * 100:.2f} (%)  [{n_episodes} episodes]")
 

@@ -211,7 +211,8 @@ def sfc_refine(
 # --- head module ----------------------------------------------------------------
 
 
-_SOLVER_ALIASES = {"opencv": "sinkhorn_detached"}
+# 'sinkhorn' selected the detached path in configs written before the rename
+_SOLVER_ALIASES = {"opencv": "sinkhorn_detached", "sinkhorn": "sinkhorn_detached"}
 _SOLVERS = ("sinkhorn_detached", "qpth", "sinkhorn_pallas")
 
 

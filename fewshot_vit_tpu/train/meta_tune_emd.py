@@ -325,7 +325,10 @@ def main(cfg, args) -> TrainState:
             np.stack(list(test_sampler.epoch(rng_mod.np_rng(1)))).reshape(test_episodes, -1),
             test_episodes,
         ).astype(np.int32)
-        accs = np.asarray(val_fn(best_vars, jax.device_put(test_ds.images),
+        # val images are already device-resident when no test_dataset is
+        # configured — don't double the eval image HBM footprint
+        test_images = val_images if test_ds is val_ds else jax.device_put(test_ds.images)
+        accs = np.asarray(val_fn(best_vars, test_images,
                                  jnp.asarray(test_idx), rng_mod.epoch_key(root, 1)))
         m_t, ci_t = mean_confidence_interval(accs)
         # max-va meta is authoritative (it survives resume; local best_va/

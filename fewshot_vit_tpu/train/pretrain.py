@@ -261,6 +261,16 @@ def main(cfg, args) -> TrainState:
         save_variables(f"{logger.save_dir}/epoch-ex", state.variables,
                        {"model": "classifier", "n_classes": n_classes,
                         "encoder": cfg.get("model_args.encoder"), "epoch": "ex"})
+        if ema_decay:
+            # the extra epoch updated the shadow too — export it, else the
+            # consumable ema/ checkpoints lag one epoch behind epoch-ex
+            ema_variables = {"params": state.ema_params}
+            if state.batch_stats:
+                ema_variables["batch_stats"] = state.batch_stats
+            save_variables(f"{logger.save_dir}/ema/epoch-ex", ema_variables,
+                           {"model": "classifier", "n_classes": n_classes,
+                            "encoder": cfg.get("model_args.encoder"),
+                            "epoch": "ex", "ema_decay": ema_decay})
     return state
 
 

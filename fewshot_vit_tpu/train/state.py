@@ -73,7 +73,9 @@ def resume_train_state(resume_dir: str, state: "TrainState"):
         if os.path.exists(mp):
             try:
                 with open(mp) as f:
-                    saved_ema = json.load(f).get("ema")
+                    # checkpoints from before the EMA feature have no "ema"
+                    # key and never carry a shadow -> treat missing as False
+                    saved_ema = json.load(f).get("ema", False)
             except (ValueError, OSError):
                 pass
             break

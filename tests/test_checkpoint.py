@@ -118,6 +118,21 @@ class TestResumeEmaToggle:
         assert state.ema_params is None
         assert note and "dropping" in note
 
+    def test_pre_ema_checkpoint_meta_without_key(self, tmp_path):
+        """Resume checkpoints written before the EMA feature have no "ema"
+        meta key (and no shadow in the arrays); enabling ema_decay on the
+        restart must re-seed rather than crash on a structure mismatch."""
+        from fewshot_vit_tpu.train.state import resume_train_state
+
+        p = str(tmp_path / "resume")
+        save_variables(p, self._state(ema=False), {"epoch": 4})
+        state, meta, note = resume_train_state(p, self._state(ema=True))
+        assert meta["epoch"] == 4
+        assert note and "re-seeded" in note
+        np.testing.assert_array_equal(
+            np.asarray(state.ema_params["w"]), np.asarray(state.params["w"])
+        )
+
     def test_unchanged_setting_restores_plainly(self, tmp_path):
         from fewshot_vit_tpu.train.state import resume_train_state
 

@@ -74,15 +74,45 @@ class TestGridGeometryGolden:
         return out
 
     def test_boxes_match_reference_exactly(self):
-        """Integer truncation semantics are reproduced via jnp.floor, so box
-        edges are EXACT for any ratio — including non-divisible grids (80/3)
-        and fractional train-time ratios."""
-        from fewshot_vit_tpu.data.patches import _grid_boxes
+        """The static-ratio (eval) path computes boxes in host float64/int,
+        so edges are EXACT for any ratio — INCLUDING the boundary cases
+        where size/g*ratio lands on an integer (80/3*1.8 = 48, 80/3*1.05,
+        80/3*2.1, 80/2*2.7 ...), which a float32 floor truncates one low."""
+        from fewshot_vit_tpu.data.patches import _grid_boxes_exact
 
         for size, ratio, g in [(80, 2.0, 2), (80, 2.0, 3), (84, 1.5, 3),
-                               (80, 1.37, 2), (80, 2.93, 3)]:
-            lo, hi = _grid_boxes(size, g, ratio)
+                               (80, 1.37, 2), (80, 2.93, 3),
+                               # f32-boundary ratios (true product integral)
+                               (80, 1.05, 3), (80, 1.8, 3), (80, 2.1, 3),
+                               (80, 2.85, 3), (80, 2.7, 2)]:
+            lo, hi = _grid_boxes_exact(size, g, ratio)
             want = self._reference_locations(size, ratio, g)
             for i, (wl, wh) in enumerate(want):
                 assert float(lo[i]) == wl, (size, ratio, g, i)
                 assert float(hi[i]) == wh, (size, ratio, g, i)
+
+    def test_grid_patches_static_ratio_uses_exact_boxes(self):
+        """grid_patches with a Python-float ratio (the eval path) must route
+        through the exact host boxes: at a boundary ratio the f32 path's
+        off-by-one box would shift the resampled patch measurably."""
+        import jax
+        import jax.numpy as jnp
+
+        from fewshot_vit_tpu.data.patches import (
+            _grid_boxes_exact, grid_patches,
+        )
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 80, 80, 3)), jnp.uint8)
+        got = grid_patches(imgs, patch_list=[3], ratio=1.8, out_size=16)
+        lo, hi = _grid_boxes_exact(80, 3, 1.8)
+        # reproduce patch (0,0) directly from the exact box via the same
+        # scale_and_translate crop
+        y0, y1 = float(lo[0]), float(hi[0])
+        s = 16 / (y1 - y0)
+        want = jax.image.scale_and_translate(
+            imgs[0].astype(jnp.float32), (16, 16, 3), (0, 1),
+            jnp.asarray([s, s]), jnp.asarray([-y0 * s, -y0 * s]),
+            method="bilinear")
+        np.testing.assert_allclose(np.asarray(got[0, 0]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-3)

@@ -398,6 +398,42 @@ class TestCachedEval:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
 
 
+class TestEvalEpisodeBatching:
+    def test_ep_per_batch_grouping_invariant(self):
+        """--ep-per-batch groups episodes into vmapped chunks; the per-episode
+        rng folds by GLOBAL episode index, so accuracies must match the
+        epb=1 scan for any grouping (incl. a padded final batch)."""
+        from fewshot_vit_tpu.eval.run_emd import make_emd_eval_run_fn
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_patch_fn,
+        )
+
+        way, shot, query = 3, 1, 4
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        patch_fn = make_patch_fn("fcn", [2], 4, 2.0, 16, train=False)
+        ep_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                    (0.5,) * 3, (0.5,) * 3, sfc=False)
+        labels = jnp.tile(jnp.arange(way), query)
+        run = make_emd_eval_run_fn(ep_fn, labels)
+
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.integers(0, 256, (30, 16, 16, 3)).astype(np.uint8))
+        ep_len = way * (shot + query)
+        n_episodes = 6
+        idx = np.stack([rng.permutation(30)[:ep_len] for _ in range(n_episodes)]
+                       ).astype(np.int32)
+        key = jax.random.key(7)
+
+        base = np.asarray(run(variables, images,
+                              jnp.asarray(idx.reshape(n_episodes, 1, ep_len)), key))
+        # epb=4 with padding (6 -> 8 episodes, repeat last)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], 2, axis=0)])
+        got = np.asarray(run(variables, images,
+                             jnp.asarray(idx_p.reshape(2, 4, ep_len)), key))[:n_episodes]
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
 class TestTaskBatching:
     def test_grad_accum_equals_vmap(self):
         """`grad_accum: true` (sequential scan, reference accumulation

@@ -30,19 +30,28 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPS = 8
+# enough chained applications that the axon relay's ~10-25 ms per-launch
+# cost is <3% of the measured window even for the fastest layout
+REPS = 32
 
 
 def time_scan(fn, *args, n_timings=5):
+    """ms per application of fn, measured as a scan of REPS CHAINED calls.
+
+    The carry is the activation itself (every layout here maps (B,H,W,C) ->
+    (B,H,W,C)), so each iteration's input depends on the previous output —
+    a loop-INVARIANT body (`fn(*a)` ignoring the carry) gets hoisted out of
+    the while loop by XLA and times one application plus launch overhead."""
     import jax
 
     @jax.jit
-    def prog(*a):
+    def prog(x, *rest):
         def body(c, _):
-            return c, fn(*a).mean()
+            y = fn(c, *rest)
+            return y.astype(c.dtype), ()
 
-        _, outs = jax.lax.scan(body, 0, None, length=REPS)
-        return outs.sum()
+        y, _ = jax.lax.scan(body, x, None, length=REPS)
+        return y.mean()
 
     float(np.asarray(prog(*args)))  # compile + warm 1
     float(np.asarray(prog(*args)))  # warm 2 (relay one-time costs)
