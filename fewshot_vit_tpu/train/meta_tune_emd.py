@@ -223,11 +223,12 @@ def main(cfg, args) -> TrainState:
                                 int(cfg.get("num_patch", 9)),
                                 float(cfg.get("patch_ratio", 2.0)), img, True)
     mean, std = train_ds.mean, train_ds.std
+    sfc_kw = {"steps": int(cfg.get("sfc_update_step", 100)),
+              "lr": float(cfg.get("sfc_lr", 0.1)),
+              "batch_size": int(cfg.get("sfc_bs", 4))}
     episode_fn = make_emd_episode_fn(
         head, way, shot, query, patch_train, mean, std,
-        sfc=shot > 1, sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
-                              "lr": float(cfg.get("sfc_lr", 0.1)),
-                              "batch_size": int(cfg.get("sfc_bs", 4))},
+        sfc=shot > 1, sfc_kw=sfc_kw,
         train=True,
     )
     labels = jnp.tile(jnp.arange(way), query)
@@ -241,24 +242,38 @@ def main(cfg, args) -> TrainState:
     patch_eval = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                                int(cfg.get("num_patch", 9)),
                                float(cfg.get("patch_ratio", 2.0)), img, False)
-    eval_episode_fn = make_emd_episode_fn(
-        head, way, shot, query, patch_eval, mean, std,
-        sfc=shot > 1, sfc_kw={"steps": int(cfg.get("sfc_update_step", 100)),
-                              "lr": float(cfg.get("sfc_lr", 0.1)),
-                              "batch_size": int(cfg.get("sfc_bs", 4))},
-    )
     val_images = jax.device_put(val_ds.images)
 
-    @jax.jit
-    def val_fn(variables, images, idx, rng):
-        def body(carry, scan_in):
-            idx_e, i = scan_in
-            logits = eval_episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
-            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-            return carry, acc
+    from ..eval.emd_eval import (
+        group_episode_indices,
+        make_emd_cached_episode_fn,
+        make_emd_eval_run_fn,
+        make_emd_node_cache_fn,
+    )
 
-        _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
-        return accs
+    if mode != "sampling":
+        # grid/fcn eval patches are deterministic per image -> encode each
+        # image's nodes once per eval call and gather per episode: identical
+        # logits (see eval/emd_eval.py), encoder work O(dataset) instead of
+        # O(episodes x 80 images). Validation dominates a SUN-D epoch, so
+        # this roughly halves epoch wall and makes the 2000-episode inline
+        # final test ~encoder-free.
+        _encode_all = make_emd_node_cache_fn(head, patch_eval, mean, std)
+        _run_eval = make_emd_eval_run_fn(
+            make_emd_cached_episode_fn(head, way, shot, sfc=shot > 1,
+                                       sfc_kw=sfc_kw), labels)
+        _eval_epb = 16
+
+        def val_fn(variables, images, idx, rng):
+            return _run_eval(variables, _encode_all(variables, images), idx, rng)
+    else:
+        _run_eval = make_emd_eval_run_fn(
+            make_emd_episode_fn(head, way, shot, query, patch_eval, mean, std,
+                                sfc=shot > 1, sfc_kw=sfc_kw), labels)
+        _eval_epb = 1
+
+        def val_fn(variables, images, idx, rng):
+            return _run_eval(variables, images, idx, rng)
 
     def interleaved(idx_flat: np.ndarray, n_ep: int) -> np.ndarray:
         # sampler emits (E, way, n_per) class-major; SUN-D order is item-major
@@ -267,10 +282,10 @@ def main(cfg, args) -> TrainState:
     train_sampler = EpisodeSampler(train_ds.labels, train_batches, way, shot + query, ep_per_batch)
     val_episodes = int(cfg.get("val_episode", 200))
     val_sampler = EpisodeSampler(val_ds.labels, val_episodes, way, shot + query, 1)
-    val_idx = interleaved(
+    val_idx = group_episode_indices(interleaved(
         np.stack(list(val_sampler.epoch(rng_mod.np_rng(0)))).reshape(val_episodes, -1),
         val_episodes,
-    ).astype(np.int32)
+    ), _eval_epb)
 
     policy = CheckpointPolicy(logger.save_dir, save_epoch=cfg.get("save_epoch"))
     root = rng_mod.root_key(args.seed)
@@ -299,7 +314,7 @@ def main(cfg, args) -> TrainState:
         m = metrics_mean(ms)
 
         accs = np.asarray(val_fn(state.variables, val_images, jnp.asarray(val_idx),
-                                 rng_mod.epoch_key(root, 0)))
+                                 rng_mod.epoch_key(root, 0)))[:val_episodes]
         va, ci = mean_confidence_interval(accs)
         if va > best_va:
             best_va, best_epoch = va, epoch
@@ -321,15 +336,15 @@ def main(cfg, args) -> TrainState:
         best_vars, best_meta = load_variables(best_dir, target=state.variables)
         test_ds = build_dataset(cfg, "test_dataset") or val_ds
         test_sampler = EpisodeSampler(test_ds.labels, test_episodes, way, shot + query, 1)
-        test_idx = interleaved(
+        test_idx = group_episode_indices(interleaved(
             np.stack(list(test_sampler.epoch(rng_mod.np_rng(1)))).reshape(test_episodes, -1),
             test_episodes,
-        ).astype(np.int32)
+        ), _eval_epb)
         # val images are already device-resident when no test_dataset is
         # configured — don't double the eval image HBM footprint
         test_images = val_images if test_ds is val_ds else jax.device_put(test_ds.images)
-        accs = np.asarray(val_fn(best_vars, test_images,
-                                 jnp.asarray(test_idx), rng_mod.epoch_key(root, 1)))
+        accs = np.asarray(val_fn(best_vars, test_images, jnp.asarray(test_idx),
+                                 rng_mod.epoch_key(root, 1)))[:test_episodes]
         m_t, ci_t = mean_confidence_interval(accs)
         # max-va meta is authoritative (it survives resume; local best_va/
         # best_epoch only cover this process's epochs)
