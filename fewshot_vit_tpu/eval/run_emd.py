@@ -55,7 +55,13 @@ def main():
     p.add_argument("--cached", action="store_true",
                    help="encode each image's nodes once (grid/fcn only; "
                         "identical logits, ~encoder-free episodes)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard each episode batch over an N-chip data mesh "
+                        "(episode parallelism over ICI; --ep-per-batch must "
+                        "be a multiple of N)")
     args = p.parse_args()
+    if args.mesh_data and args.ep_per_batch % args.mesh_data:
+        p.error("--ep-per-batch must be a multiple of --mesh-data")
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
 
@@ -126,7 +132,19 @@ def main():
                                     ds.mean, ds.std, sfc=shot > 1,
                                     sfc_kw=sfc_kw)
     run = make_emd_eval_run_fn(ep_fn, labels)
-    accs = np.asarray(run(variables, data_dev, jnp.asarray(idx),
+    idx_dev = jnp.asarray(idx)
+    if args.mesh_data:
+        # episode parallelism over ICI: variables + data replicated, the
+        # in-batch episode axis sharded (same scheme as eval/run.py --mesh-data)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh({"data": args.mesh_data})
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        data_dev = jax.device_put(data_dev, NamedSharding(mesh, P()))
+        idx_dev = jax.device_put(idx_dev, NamedSharding(mesh, P(None, "data", None)))
+    accs = np.asarray(run(variables, data_dev, idx_dev,
                           rng_mod.root_key(rng_mod.DEFAULT_SEED)))[:n_episodes]
     m, h = mean_confidence_interval(accs)
     print(f"{way}-way {shot}-shot ({mode}): acc={m * 100:.2f} +- {h * 100:.2f} (%)  [{n_episodes} episodes]")

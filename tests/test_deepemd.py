@@ -434,6 +434,46 @@ class TestEvalEpisodeBatching:
         np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
 
 
+class TestMeshEmdEval:
+    def test_mesh_data_accs_match_single_device(self, devices8):
+        """--mesh-data episode parallelism (variables/data replicated, the
+        in-batch episode axis sharded) must reproduce single-device accs —
+        the SUN-D analogue of the SUN-M mesh-eval equality test."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fewshot_vit_tpu.eval.emd_eval import make_emd_eval_run_fn
+        from fewshot_vit_tpu.parallel import make_mesh
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_patch_fn,
+        )
+
+        way, shot, query = 3, 1, 4
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        patch_fn = make_patch_fn("fcn", [2], 4, 2.0, 16, train=False)
+        ep_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                    (0.5,) * 3, (0.5,) * 3, sfc=False)
+        labels = jnp.tile(jnp.arange(way), query)
+        run = make_emd_eval_run_fn(ep_fn, labels)
+
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(rng.integers(0, 256, (40, 16, 16, 3)).astype(np.uint8))
+        ep_len = way * (shot + query)
+        idx = np.stack([rng.permutation(40)[:ep_len] for _ in range(16)]
+                       ).astype(np.int32).reshape(2, 8, ep_len)
+        key = jax.random.key(11)
+
+        base = np.asarray(run(variables, images, jnp.asarray(idx), key))
+
+        mesh = make_mesh({"data": 8})
+        v_m = jax.device_put(variables, NamedSharding(mesh, P()))
+        im_m = jax.device_put(images, NamedSharding(mesh, P()))
+        idx_m = jax.device_put(jnp.asarray(idx),
+                               NamedSharding(mesh, P(None, "data", None)))
+        got = np.asarray(run(v_m, im_m, idx_m, key))
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
 class TestTaskBatching:
     def test_grad_accum_equals_vmap(self):
         """`grad_accum: true` (sequential scan, reference accumulation
