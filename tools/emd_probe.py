@@ -1,10 +1,12 @@
 """SUN-D DeepEMD eval throughput probe.
 
-Times the same one-scan-program eval that ``eval/run_emd.py`` builds
-(grid mode, 5-way 1-shot 15-query, visformer_micro_80, Sinkhorn flows) on
-synthetic data, steady-state, fetch-forced. For context: the reference runs
-one cv2.EMD C++ simplex per (query, prototype) pair on CPU inside a Python
-double loop (``meta_tuning_sun_d/Models/models/Network.py:114-124``).
+Times the SAME run program ``eval/run_emd.py`` builds
+(``eval/emd_eval.py::make_emd_eval_run_fn``; grid mode, 5-way 1-shot
+15-query, visformer_micro_80, Sinkhorn flows) on synthetic data,
+steady-state, fetch-forced — direct at ep_per_batch 1 and 4, and the
+cached-nodes path. For context: the reference runs one cv2.EMD C++ simplex
+per (query, prototype) pair on CPU inside a Python double loop
+(``meta_tuning_sun_d/Models/models/Network.py:114-124``).
 
 Run: python tools/emd_probe.py
 """
@@ -28,6 +30,12 @@ def main():
     import fewshot_vit_tpu.heads  # noqa: F401
     import fewshot_vit_tpu.data.datasets  # noqa: F401
     from fewshot_vit_tpu.data.sampler import EpisodeSampler
+    from fewshot_vit_tpu.eval.emd_eval import (
+        group_episode_indices,
+        make_emd_cached_episode_fn,
+        make_emd_eval_run_fn,
+        make_emd_node_cache_fn,
+    )
     from fewshot_vit_tpu.train.meta_tune_emd import make_emd_episode_fn, make_patch_fn
     from fewshot_vit_tpu.core import rng as rng_mod
 
@@ -43,71 +51,50 @@ def main():
            .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
     images_dev = jax.device_put(ds.images)
     patch_fn = make_patch_fn("grid", [2, 3], 9, 2.0, 80, False)
+    key = rng_mod.root_key(0)
+
+    def timed(run, variables, data, idx_g):
+        idx_dev = jax.device_put(idx_g)
+        np.asarray(run(variables, data, idx_dev, key))
+        np.asarray(run(variables, data, idx_dev, key))
+        t0 = time.perf_counter()
+        accs = np.asarray(run(variables, data, idx_dev, key))[:n_episodes]
+        dt = time.perf_counter() - t0
+        return dt, float(accs.mean())
 
     for tag, dtype in [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]:
         head = models.make("deepemd", encoder="visformer_micro_80", dtype=dtype)
         with jax.default_device(jax.devices("cpu")[0]):
             variables = head.init(jax.random.key(0), jnp.zeros((1, 80, 80, 3)))
         variables = jax.device_put(variables)
-        episode_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
-                                         ds.mean, ds.std, sfc=False)
 
-        @jax.jit
-        def run(variables, images, idx, rng):
-            def body(carry, scan_in):
-                idx_e, i = scan_in
-                logits = episode_fn(variables, images[idx_e], jax.random.fold_in(rng, i))
-                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-                return carry, acc
+        direct_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                        ds.mean, ds.std, sfc=False)
+        run = make_emd_eval_run_fn(direct_fn, labels)
+        acc_direct = None
+        for epb in (1, 4):
+            dt, acc = timed(run, variables, images_dev,
+                            jnp.asarray(group_episode_indices(idx, epb)))
+            acc_direct = acc if acc_direct is None else acc_direct
+            print(f"SUN-D grid eval [{tag}] epb={epb}: {n_episodes/dt:7.1f} "
+                  f"episodes/s ({dt/n_episodes*1e3:.1f} ms/episode, 13-patch "
+                  f"grid, Sinkhorn; acc {acc:.4f})", flush=True)
 
-            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
-            return accs
-
-        key = rng_mod.root_key(0)
-        np.asarray(run(variables, images_dev, jnp.asarray(idx), key))
-        np.asarray(run(variables, images_dev, jnp.asarray(idx), key))
-        t0 = time.perf_counter()
-        accs = run(variables, images_dev, jnp.asarray(idx), key)
-        acc_direct = float(np.asarray(accs).mean())
-        dt = time.perf_counter() - t0
-        print(f"SUN-D grid eval [{tag}]: {n_episodes/dt:7.1f} episodes/s "
-              f"({dt/n_episodes*1e3:.1f} ms/episode, 13-patch grid, Sinkhorn)",
-              flush=True)
-
-        # --cached mode: encode each image's nodes once, gather per episode
-        from fewshot_vit_tpu.eval.run_emd import (
-            make_emd_cached_episode_fn, make_emd_node_cache_fn,
-        )
-
+        # cached: encode each image's nodes once, gather per episode
         cache_fn = make_emd_node_cache_fn(head, patch_fn, ds.mean, ds.std)
-        cached_fn = make_emd_cached_episode_fn(head, way, shot, sfc=False)
-
-        @jax.jit
-        def run_cached(variables, nodes, idx, rng):
-            def body(carry, scan_in):
-                idx_e, i = scan_in
-                logits = cached_fn(variables, nodes[idx_e], jax.random.fold_in(rng, i))
-                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-                return carry, acc
-
-            _, accs = jax.lax.scan(body, None, (idx, jnp.arange(idx.shape[0])))
-            return accs
-
         np.asarray(cache_fn(variables, images_dev))  # compile encode
         t0 = time.perf_counter()
         nodes_dev = cache_fn(variables, images_dev)
-        nodes_np_done = np.asarray(nodes_dev[0, 0, 0])  # force
+        np.asarray(nodes_dev[0, 0, 0])  # force
         dt_enc = time.perf_counter() - t0
-        np.asarray(run_cached(variables, nodes_dev, jnp.asarray(idx), key))
-        np.asarray(run_cached(variables, nodes_dev, jnp.asarray(idx), key))
-        t0 = time.perf_counter()
-        accs_c = run_cached(variables, nodes_dev, jnp.asarray(idx), key)
-        acc_cached = float(np.asarray(accs_c).mean())
-        dt_c = time.perf_counter() - t0
-        print(f"SUN-D grid eval [{tag}] --cached: {n_episodes/dt_c:7.1f} episodes/s "
-              f"({dt_c/n_episodes*1e3:.2f} ms/episode; one-time encode of "
-              f"{len(ds)} imgs = {dt_enc:.1f}s; acc {acc_cached:.4f} vs "
-              f"direct {acc_direct:.4f})", flush=True)
+        run_c = make_emd_eval_run_fn(
+            make_emd_cached_episode_fn(head, way, shot, sfc=False), labels)
+        dt_c, acc_cached = timed(run_c, variables, nodes_dev,
+                                 jnp.asarray(group_episode_indices(idx, 16)))
+        print(f"SUN-D grid eval [{tag}] --cached epb=16: {n_episodes/dt_c:7.1f} "
+              f"episodes/s ({dt_c/n_episodes*1e3:.2f} ms/episode; one-time "
+              f"encode of {len(ds)} imgs = {dt_enc:.1f}s; acc {acc_cached:.4f} "
+              f"vs direct {acc_direct:.4f})", flush=True)
 
 
 if __name__ == "__main__":
