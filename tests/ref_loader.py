@@ -118,3 +118,56 @@ def load_ref_model_module(phase: str, modname: str):
         sys.modules[full] = mod
         spec.loader.exec_module(mod)
     return sys.modules[f"{pkg_name}.{modname}"]
+
+
+def load_sun_m_utils():
+    """Load ``sun_meta_training/utils`` (compute_logits_kshot etc.) as a real
+    package under a private name (it does ``from . import few_shot``)."""
+    pkg_name = "ref_smt_utils"
+    if pkg_name in sys.modules:
+        return sys.modules[pkg_name]
+    pkg_dir = os.path.join(REF_ROOT, "sun_meta_training", "utils")
+    spec = importlib.util.spec_from_file_location(
+        pkg_name, os.path.join(pkg_dir, "__init__.py"),
+        submodule_search_locations=[pkg_dir],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[pkg_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_meta_token():
+    """Load ``sun_meta_training/models/meta_token.py`` + its registry.
+
+    The module does absolute ``import models`` / ``import utils``, so those
+    names are seeded (and restored) around the exec; the module's globals keep
+    their own references afterwards. Returns (meta_token_module, registry_module).
+    """
+    from . import timm_shim
+
+    timm_shim.install()
+    pkg_name = "refzoo_sun_meta_training"
+    full = f"{pkg_name}.meta_token"
+    registry = load_ref_model_module("sun_meta_training", "models")
+    if full in sys.modules:
+        return sys.modules[full], registry
+    utils_mod = load_sun_m_utils()
+    saved = {k: sys.modules.get(k) for k in ("models", "utils")}
+    sys.modules["models"] = registry
+    sys.modules["utils"] = utils_mod
+    try:
+        spec = importlib.util.spec_from_file_location(
+            full,
+            os.path.join(REF_ROOT, "sun_meta_training", "models", "meta_token.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod, registry
