@@ -368,7 +368,8 @@ for _n in ("visformer_micro_80", "visformer_tiny_80", "visformer_small", "net5_8
 for _n in ("resnet12", "resnet12-wide", "resnet18", "resnet50"):
     ENCODER_KEY_FNS[_n] = resnet_key
 ENCODER_KEY_FNS["convnet4"] = convnet4_key
-for _n in ("nest_nano_80", "nest_micro_80", "nest_micro_resembed_80", "nest_12m_v3"):
+for _n in ("nest_nano_80", "nest_micro_80", "nest_micro_resembed_80",
+           "nest_micro_resembed_2x_80", "nest_12m_v3"):
     ENCODER_KEY_FNS[_n] = nest_key
 for _n in ("swin_nano_patch4_window5_80", "swin_micro_resembed_80"):
     ENCODER_KEY_FNS[_n] = swin_key

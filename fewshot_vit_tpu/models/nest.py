@@ -227,9 +227,14 @@ class NestTransformerLayer(nn.Module):
 
 
 class ConvPool(nn.Module):
-    """Block aggregation: 3x3 conv + channel LN + 3x3/s2 maxpool (pad 1)."""
+    """Block aggregation: 3x3 conv + channel LN + 3x3 maxpool (pad 1).
+
+    ``stride=1`` is the reference ``ConvPool(downsample=False)`` branch
+    (``nest_resembed_2x.py:205-208``): same aggregation, no spatial
+    reduction."""
 
     dim: int
+    stride: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -238,7 +243,8 @@ class ConvPool(nn.Module):
                     kernel_init=trunc_normal_init(0.02),
                     dtype=self.dtype, name="conv")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return nn.max_pool(x, (3, 3), strides=(self.stride, self.stride),
+                           padding=((1, 1), (1, 1)))
 
 
 # The resembed variant's active ConvBlock (the 7x7 definition at
@@ -262,6 +268,7 @@ class Nest(nn.Module):
     stem_hidden: int = 64
     gpsa_levels: int = 0  # levels < this use GPSA (nest_gpsa.py:375)
     rel_bias: bool = False  # all levels use relative-position bias (nest_rel)
+    last_level_2x: bool = False  # resembed-2x: last level at 2x resolution
     dtype: Any = jnp.float32
 
     @property
@@ -274,7 +281,6 @@ class Nest(nn.Module):
         num_blocks = [4 ** (num_levels - 1 - i) for i in range(num_levels)]
         grid = self.img_size // self.patch_size
         block_size = grid // int(math.sqrt(num_blocks[0]))
-        seq_len = block_size * block_size
 
         if self.conv_stem:
             x = NestConvStem(self.stem_hidden, self.embed_dims[0],
@@ -291,11 +297,20 @@ class Nest(nn.Module):
         first = 0
         for lvl in range(num_levels):
             dim = self.embed_dims[lvl]
+            # resembed-2x (``nest_resembed_2x.py:378-382``): the last level
+            # skips the spatial downsample and runs its single block at 2x
+            # edge length (4x tokens). NB the reference ctor builds exactly
+            # this geometry (block_size*2, seq_length*4 pos embed) but never
+            # passes its own ``downsample=False`` flag, so its forward cannot
+            # run at any image size — we implement the evident intent.
+            hires = self.last_level_2x and lvl == num_levels - 1
+            lb = block_size * 2 if hires else block_size
             if lvl > 0:
-                x = ConvPool(dim, dtype=self.dtype, name=f"levels_{lvl}_pool")(x, train)
-            x = blockify(x, block_size)
+                x = ConvPool(dim, stride=1 if hires else 2, dtype=self.dtype,
+                             name=f"levels_{lvl}_pool")(x, train)
+            x = blockify(x, lb)
             pos = self.param(f"levels_{lvl}_pos_embed", trunc_normal_init(0.02),
-                             (1, num_blocks[lvl], seq_len, dim))
+                             (1, num_blocks[lvl], lb * lb, dim))
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x + pos)
             attn_type = ("gpsa" if lvl < self.gpsa_levels
                          else "rel" if self.rel_bias else "standard")
@@ -303,11 +318,11 @@ class Nest(nn.Module):
                 x = NestTransformerLayer(
                     dim, self.num_heads[lvl], self.mlp_ratio, self.qkv_bias,
                     self.drop_rate, self.attn_drop_rate, dpr[first + j],
-                    attn_type=attn_type, block_size=block_size,
+                    attn_type=attn_type, block_size=lb,
                     dtype=self.dtype, name=f"levels_{lvl}_layers_{j}",
                 )(x, train)
             first += self.depths[lvl]
-            x = deblockify(x, block_size)
+            x = deblockify(x, lb)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         pooled = jnp.mean(x, axis=(1, 2))
@@ -331,6 +346,19 @@ def nest_micro_80(**kwargs: Any) -> Nest:
 def nest_micro_resembed_80(**kwargs: Any) -> Nest:
     return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(4, 12, 16),
                 depths=(2, 2, 2), conv_stem=True, **kwargs)
+
+
+@models.register("nest_micro_resembed_2x_80")
+def nest_micro_resembed_2x_80(**kwargs: Any) -> Nest:
+    """resembed-2x: micro dims + residual conv stem + last level at 2x
+    resolution (``nest_resembed_2x.py:374-383``). The reference registers this
+    under the SAME name as nest_resembed ('nest_micro_resembed_80',
+    ``nest_resembed_2x.py:574``) so it is clobbered/unreachable, and its
+    forward is broken besides (the ctor never passes its own
+    ``downsample=False``, verified by execution in tests/test_nest.py) —
+    registered here under a distinct name, implementing the intent."""
+    return Nest(img_size=80, embed_dims=(128, 384, 512), num_heads=(4, 12, 16),
+                depths=(2, 2, 2), conv_stem=True, last_level_2x=True, **kwargs)
 
 
 @models.register("nest_micro_v2_gpsa")

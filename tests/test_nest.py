@@ -39,6 +39,15 @@ class TestContracts:
         assert d.shape == (2, 5, 5, out_dim)
         assert p.shape == (2, out_dim)
 
+    def test_resembed_2x_shapes(self):
+        # last level at 2x resolution: dense map stays 10x10
+        m = models.make("nest_micro_resembed_2x_80")
+        assert m.out_dim == 512
+        v = _init(m)
+        d, p = m.apply(v, jnp.zeros((2, 80, 80, 3)), train=False)
+        assert d.shape == (2, 10, 10, 512)
+        assert p.shape == (2, 512)
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
@@ -87,3 +96,44 @@ class TestTorchParity:
         self._parity(
             ref.nest_micro_80(), models.make("nest_micro_resembed_80")
         )
+
+    def test_resembed_2x_reference_is_broken(self):
+        """The reference 2x ctor sizes the last level for 2x blocks
+        (block_size*2, seq_length*4) but never passes its own
+        ``downsample=False`` flag (``nest_resembed_2x.py:378-382`` vs
+        ``:259-266``), so after the always-on stride-2 pool the 5x5 map
+        cannot be blockified at block_size 10 — the forward fails at ANY
+        image size (the pooled edge is always block_size/2). This is the
+        waiver evidence for porting the intent instead of the code."""
+        import torch
+        from . import timm_shim
+
+        timm_shim.install()
+        ref = ref_loader.load_ref_model_module(
+            "sun_meta_training", "nest_resembed_2x")
+        net = ref.nest_micro_80()
+        net.eval()
+        with pytest.raises(AssertionError):
+            with torch.no_grad():
+                net(torch.randn(1, 3, 80, 80))
+
+    def test_nest_micro_resembed_2x_intent(self):
+        """Parity against the reference 2x model with its own
+        ``downsample=False`` branch actually applied to the last level —
+        the one-line wiring its ctor evidently intends (the pos embed is
+        already sized (1, 1, 100, C) for the undownsampled 10x10 block)."""
+        import torch
+        from . import timm_shim
+
+        timm_shim.install()
+        ref = ref_loader.load_ref_model_module(
+            "sun_meta_training", "nest_resembed_2x")
+        torch.manual_seed(3)
+        net = ref.nest_micro_80()
+        from functools import partial
+
+        net.levels[2].pool = ref.ConvPool(
+            384, 512, norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+            downsample=False,
+        )
+        self._parity(net, models.make("nest_micro_resembed_2x_80"))

@@ -7,9 +7,15 @@ step-per-launch measurement is meaningless on this box: the axon relay
 charges ~10-20 ms per argument buffer per launch, so a 127-leaf variables
 pytree adds ~1.5 s/launch; the epoch-scan programs pass weights once.)
 
-Run: python tools/train_probe.py
+Run: python tools/train_probe.py [--only all|pretrain|sun] [--repeats N]
+
+``--repeats`` re-times each section N times within the process (fresh state,
+same compiled program) — the fp32 SUN step in particular shows large
+across-process run-to-run variance (see docs/PERF.md), so a single
+measurement is not trustworthy.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -20,6 +26,10 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["all", "pretrain", "sun"], default="all")
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     import optax
@@ -58,10 +68,16 @@ def main():
         np.asarray(loss)
         s, loss = epoch(s, images, labels, keys, *extra)
         np.asarray(loss)
-        t0 = time.perf_counter()
-        s, loss = epoch(s, images, labels, keys, *extra)
-        np.asarray(loss)
-        return (time.perf_counter() - t0) / N_STEPS
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            s, loss = epoch(s, images, labels, keys, *extra)
+            np.asarray(loss)
+            times.append((time.perf_counter() - t0) / N_STEPS)
+        if args.repeats > 1:
+            print("  repeats: " + " ".join(f"{t*1e3:.1f}" for t in times)
+                  + " ms/step", flush=True)
+        return min(times)
 
     def pretrain_state(dtype=None):
         import jax.numpy as _jnp
@@ -73,39 +89,45 @@ def main():
         variables = jax.device_put(variables)
         return model, TrainState.create(variables, tx)
 
-    model, state = pretrain_state()
-    step = make_pretrain_step(model, tx, jit=False)
-    t = time_scan(step, state, img80)
-    print(f"pretrain plain     : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+    if args.only in ("all", "pretrain"):
+        model, state = pretrain_state()
+        step = make_pretrain_step(model, tx, jit=False)
+        t = time_scan(step, state, img80)
+        print(f"pretrain plain     : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
 
-    model, state = pretrain_state()
-    step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
-    t = time_scan(step, state, img84)
-    print(f"pretrain cropaug   : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+        model, state = pretrain_state()
+        step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
+        t = time_scan(step, state, img84)
+        print(f"pretrain cropaug   : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
 
-    model, state = pretrain_state(dtype=jnp.bfloat16)
-    step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
-    t = time_scan(step, state, img84)
-    print(f"pretrain cropaug bf16: {t*1e3:5.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+        model, state = pretrain_state(dtype=jnp.bfloat16)
+        step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
+        t = time_scan(step, state, img84)
+        print(f"pretrain cropaug bf16: {t*1e3:5.1f} ms/step  {B/t:7.0f} img/s", flush=True)
 
+    if args.only not in ("all", "sun"):
+        return
     # phase-2 SUN: student token-label + frozen teacher, device dual-view
-    student = models.make("token-label", encoder="visformer_micro_80",
-                          classifier_args={"n_classes": n_classes})
-    with jax.default_device(jax.devices("cpu")[0]):
-        sv = student.init(jax.random.key(1), jnp.zeros((1, 80, 80, 3)))
-    sv = jax.device_put(sv)
-    state = TrainState.create(sv, tx)
-    tvars = {"params": sv["params"]}
-    if sv.get("batch_stats"):
-        tvars["batch_stats"] = sv["batch_stats"]
-    sun = make_sun_step(student, student, tx, dual_view_fn=make_dual_view_fn(),
-                        jit=False)
+    for tag, dtype_kw in [("", {}), (" bf16", {"dtype": jnp.bfloat16})]:
+        student = models.make("token-label", encoder="visformer_micro_80",
+                              classifier_args={"n_classes": n_classes},
+                              **dtype_kw)
+        with jax.default_device(jax.devices("cpu")[0]):
+            sv = student.init(jax.random.key(1), jnp.zeros((1, 80, 80, 3)))
+        sv = jax.device_put(sv)
+        state = TrainState.create(sv, tx)
+        tvars = {"params": sv["params"]}
+        if sv.get("batch_stats"):
+            tvars["batch_stats"] = sv["batch_stats"]
+        sun = make_sun_step(student, student, tx,
+                            dual_view_fn=make_dual_view_fn(), jit=False)
 
-    def sun_step(s, tv, images, labels, k):
-        return sun(s, tv, images, images, labels, k)
+        def sun_step(s, tv, images, labels, k):
+            return sun(s, tv, images, images, labels, k)
 
-    t = time_scan(sun_step, state, img84, extra=(tvars,))
-    print(f"sun dual-view      : {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+        t = time_scan(sun_step, state, img84, extra=(tvars,))
+        print(f"sun dual-view{tag:5s}: {t*1e3:7.1f} ms/step  {B/t:7.0f} img/s",
+              flush=True)
 
 
 if __name__ == "__main__":
