@@ -120,13 +120,13 @@ def load_ref_model_module(phase: str, modname: str):
     return sys.modules[f"{pkg_name}.{modname}"]
 
 
-def load_sun_m_utils():
-    """Load ``sun_meta_training/utils`` (compute_logits_kshot etc.) as a real
-    package under a private name (it does ``from . import few_shot``)."""
-    pkg_name = "ref_smt_utils"
+def load_phase_utils(phase: str):
+    """Load ``<phase>/utils`` (compute_logits etc.) as a real package under a
+    private name (it does ``from . import few_shot``)."""
+    pkg_name = f"ref_utils_{phase}"
     if pkg_name in sys.modules:
         return sys.modules[pkg_name]
-    pkg_dir = os.path.join(REF_ROOT, "sun_meta_training", "utils")
+    pkg_dir = os.path.join(REF_ROOT, phase, "utils")
     spec = importlib.util.spec_from_file_location(
         pkg_name, os.path.join(pkg_dir, "__init__.py"),
         submodule_search_locations=[pkg_dir],
@@ -137,29 +137,27 @@ def load_sun_m_utils():
     return mod
 
 
-def load_meta_token():
-    """Load ``sun_meta_training/models/meta_token.py`` + its registry.
-
-    The module does absolute ``import models`` / ``import utils``, so those
-    names are seeded (and restored) around the exec; the module's globals keep
-    their own references afterwards. Returns (meta_token_module, registry_module).
-    """
+def load_phase_model_module(phase: str, modname: str):
+    """Load ``<phase>/models/<modname>.py`` + that phase's registry, seeding
+    the absolute ``import models`` / ``import utils`` names the file expects
+    (and restoring them afterwards; the module's globals keep their own
+    references). Returns (module, registry_module)."""
     from . import timm_shim
 
     timm_shim.install()
-    pkg_name = "refzoo_sun_meta_training"
-    full = f"{pkg_name}.meta_token"
-    registry = load_ref_model_module("sun_meta_training", "models")
+    pkg_name = f"refzoo_{phase}"
+    full = f"{pkg_name}.{modname}"
+    registry = load_ref_model_module(phase, "models")
     if full in sys.modules:
         return sys.modules[full], registry
-    utils_mod = load_sun_m_utils()
+    utils_mod = load_phase_utils(phase)
     saved = {k: sys.modules.get(k) for k in ("models", "utils")}
     sys.modules["models"] = registry
     sys.modules["utils"] = utils_mod
     try:
         spec = importlib.util.spec_from_file_location(
             full,
-            os.path.join(REF_ROOT, "sun_meta_training", "models", "meta_token.py"),
+            os.path.join(REF_ROOT, phase, "models", f"{modname}.py"),
         )
         mod = importlib.util.module_from_spec(spec)
         sys.modules[full] = mod
@@ -171,3 +169,15 @@ def load_meta_token():
             else:
                 sys.modules[k] = v
     return mod, registry
+
+
+def load_sun_m_utils():
+    """Back-compat alias: ``sun_meta_training/utils``."""
+    mod = load_phase_utils("sun_meta_training")
+    sys.modules.setdefault("ref_smt_utils", mod)
+    return mod
+
+
+def load_meta_token():
+    """Load ``sun_meta_training/models/meta_token.py`` + its registry."""
+    return load_phase_model_module("sun_meta_training", "meta_token")
