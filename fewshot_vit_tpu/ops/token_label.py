@@ -41,20 +41,21 @@ def generate_soft_label(
     on = 1.0 - smoothing + off
 
     # Foreground mask: the (T - bg) most salient patches keep class labels.
+    # Index sets are materialized as one-hot broadcast-compares reduced on the
+    # VPU, not scatters (`.at[].set`) — scatters serialize on TPU, and these
+    # run inside every phase-2 train step. top_k indices are distinct, so the
+    # one-hot sum is bit-identical to the scatter.
     saliency = jnp.max(logits, axis=-1)  # (B, T)
     _, keep_idx = jax.lax.top_k(saliency, t - bg_tokens)  # (B, T-bg)
-    fg_mask = (
-        jnp.zeros((b, t), logits.dtype)
-        .at[jnp.arange(b)[:, None], keep_idx]
-        .set(1.0)
+    fg_mask = jnp.sum(
+        jax.nn.one_hot(keep_idx, t, dtype=logits.dtype), axis=1
     )  # (B, T) 1=foreground
 
     # Top-k class one-hot per patch, over C+1 classes (background never in top-k).
     _, top_idx = jax.lax.top_k(logits, k)  # (B, T, k)
-    topk_hot = jnp.zeros((b, t, c + 1), logits.dtype)
-    topk_hot = topk_hot.at[
-        jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], top_idx
-    ].set(1.0)
+    topk_hot = jnp.sum(
+        jax.nn.one_hot(top_idx, c + 1, dtype=logits.dtype), axis=2
+    )  # (B, T, C+1)
 
     fg_label = off + topk_hot * (on - off)  # (B, T, C+1)
     bg_label = jnp.full((c + 1,), off, logits.dtype).at[c].set(on)  # (C+1,)
