@@ -84,6 +84,13 @@ class TokenLabelEpisodic(nn.Module):
         # implement the intended local top-1 matching directly; the cls branch
         # is parity-anchored line-by-line against the reference's cls-path
         # code at the rank it assumes.
+        # Lineage note: the reference has TWO divergent copies of this head.
+        # This port follows the ``sun_meta_training`` copy's documented intent
+        # (all-pairs matching). The ``meta_tuning_sun_m`` copy (:70-112) is a
+        # different evolution — positionally-aligned per-shot similarity —
+        # and THAT lineage is ported faithfully (execution-anchored) in
+        # ``TokenLabelEpisodicReweight``/``TokenLabelEpisodicChannelAttn``
+        # below, which extend it.
         sim = jnp.einsum("eqtc,enkc->eqntk", fq, fs)  # (E, Q, way, T, shot*T)
         local = jnp.mean(jnp.max(sim, axis=-1), axis=-1)  # (E, Q, way)
 

@@ -47,10 +47,15 @@ def accelerator():
     """True iff a fresh process sees a non-CPU jax platform."""
     if os.environ.get("RUN_SLOW") == "1":
         return True
-    probe = subprocess.run(
-        [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-        capture_output=True, text=True, timeout=180, env=_clean_env(),
-    )
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=180, env=_clean_env(),
+        )
+    except subprocess.TimeoutExpired:
+        # A hung device relay should skip, not error, the gated tests.
+        pytest.skip("accelerator probe timed out (device relay unreachable)")
     plat = probe.stdout.strip().splitlines()[-1] if probe.returncode == 0 else ""
     if plat in ("", "cpu"):
         pytest.skip(f"no accelerator (platform={plat or 'none'}); "
