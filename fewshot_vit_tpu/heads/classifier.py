@@ -59,6 +59,10 @@ class Classifier(nn.Module):
     encoder: nn.Module
     classifier: nn.Module
 
+    # Whole-classification signature (x, train), not the episodic
+    # (x_shot, x_query) contract (see train/meta_tune.py's check).
+    standard_episodic = False
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         _, pooled = self.encoder(x, train)

@@ -244,6 +244,10 @@ def _canonical_solver(solver: str) -> str:
 class DeepEMD(nn.Module):
     """Encoder + DeepEMD matching / pretrain classifier."""
 
+    # Driven by its own SUN-D loops (train/meta_tune_emd.py, eval/run_emd.py),
+    # not the standard episodic meta-tune contract (see train/meta_tune.py).
+    standard_episodic = False
+
     encoder: nn.Module
     n_classes: Optional[int] = None  # pre_train mode fc
     temperature: float = 12.5

@@ -27,6 +27,10 @@ class MetaBaseline(nn.Module):
     temp: float = 10.0
     temp_learnable: bool = True
 
+    # Implements the standard episodic contract the meta-tune/eval loops
+    # drive: (x_shot (E,way,shot,...), x_query (E,Q,...)) -> (E,Q,way) logits.
+    standard_episodic = True
+
     @nn.compact
     def __call__(
         self, x_shot: jax.Array, x_query: jax.Array, train: bool = False

@@ -63,15 +63,22 @@ def token_qkv(feat_query: jax.Array, x_support: jax.Array,
     return o_query, support_flat[:, None]
 
 
-def sampling_pool(token: jax.Array, feature: jax.Array,
-                  rate: float = 0.5) -> jax.Array:
-    """Attention-select the top-``rate`` patches and average them into a new
-    token (reference ``Sampling.forward``, ``meta_token.py:228-246``).
+def _attend_select(token: jax.Array, feature: jax.Array, rate: float):
+    """Shared patch selection of ``Sampling``/``SamplingKeepToken``
+    (reference ``meta_token.py:228-246`` / ``:252-268``): attention of the
+    pooled token over its patches, keep the top-``rate`` fraction, renormalize
+    their weights.
 
-    token (b, n, k, c), feature (b, n, k, hw, c) -> (b, n, k, c)."""
+    token (b, n, k, c), feature (b, n, k, hw, c) ->
+    sel_attn (b, n*k, kk), sel_feat (b, n*k, kk, c)."""
     b, n, k, c = token.shape
     hw = feature.shape[3]
     kk = int(hw * rate)
+    if kk < 1:
+        raise ValueError(
+            f"sampling rate {rate} keeps int({hw}*{rate})=0 patches; the "
+            "renormalization would divide by zero"
+        )
     t = token.reshape(b, n * k, 1, c)
     f = feature.reshape(b, n * k, hw, c)
     attn = jnp.einsum("bmxc,bmtc->bmxt", t, f) * (c ** -0.5)
@@ -79,6 +86,17 @@ def sampling_pool(token: jax.Array, feature: jax.Array,
     sel_attn, sel_idx = jax.lax.top_k(attn, kk)              # (b, nk, kk)
     sel_attn = sel_attn / jnp.sum(sel_attn, axis=-1, keepdims=True)
     sel_feat = jnp.take_along_axis(f, sel_idx[..., None], axis=2)
+    return sel_attn, sel_feat
+
+
+def sampling_pool(token: jax.Array, feature: jax.Array,
+                  rate: float = 0.5) -> jax.Array:
+    """Attention-select the top-``rate`` patches and average them into a new
+    token (reference ``Sampling.forward``, ``meta_token.py:228-246``).
+
+    token (b, n, k, c), feature (b, n, k, hw, c) -> (b, n, k, c)."""
+    b, n, k, c = token.shape
+    sel_attn, sel_feat = _attend_select(token, feature, rate)
     out = jnp.einsum("bmt,bmtc->bmc", sel_attn, sel_feat)
     return out.reshape(b, n, k, c)
 
@@ -90,15 +108,8 @@ def sampling_keep(token: jax.Array, feature: jax.Array,
 
     token (b, n, k, c), feature (b, n, k, hw, c) -> (b, n, k, hw*rate, c)."""
     b, n, k, c = token.shape
-    hw = feature.shape[3]
-    kk = int(hw * rate)
-    t = token.reshape(b, n * k, 1, c)
-    f = feature.reshape(b, n * k, hw, c)
-    attn = jnp.einsum("bmxc,bmtc->bmxt", t, f) * (c ** -0.5)
-    attn = jax.nn.softmax(attn, axis=-1)[:, :, 0]
-    sel_attn, sel_idx = jax.lax.top_k(attn, kk)
-    sel_attn = sel_attn / jnp.sum(sel_attn, axis=-1, keepdims=True)
-    sel_feat = jnp.take_along_axis(f, sel_idx[..., None], axis=2)
+    sel_attn, sel_feat = _attend_select(token, feature, rate)
+    kk = sel_attn.shape[-1]
     return (sel_attn[..., None] * sel_feat).reshape(b, n, k, kk, c)
 
 
@@ -147,6 +158,22 @@ class _MetaTokenBase(nn.Module):
     method: str = "cos"
     temp: float = 10.0
     temp_learnable: bool = True
+
+    # Grouped (E, way, query, ...) query layout + tuple return: NOT the
+    # standard (x_shot, x_query) -> (E, Q, way) episodic contract the
+    # meta-tune/eval loops drive (see train/meta_tune.py's check).
+    standard_episodic = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.method != "cos":
+            # The reference only implements cosine here too: its
+            # compute_logits_kshot has no metric branch, and metric='sqr'
+            # dies in compute_logits_local (utils/__init__.py:103-112).
+            raise ValueError(
+                f"meta-token heads implement method='cos' only, got "
+                f"{self.method!r}"
+            )
 
     def _encode(self, x_shot, x_query, train):
         e, way, shot = x_shot.shape[:3]

@@ -29,6 +29,10 @@ class TokenLabel(nn.Module):
     n_classes: int
     dtype: Any = jnp.float32
 
+    # Whole-classification signature (x, train, is_teacher), not the episodic
+    # (x_shot, x_query) -> (E, Q, way) contract (see train/meta_tune.py).
+    standard_episodic = False
+
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False, is_teacher: bool = False
@@ -52,6 +56,10 @@ class TokenLabelEpisodic(nn.Module):
 
     encoder: nn.Module
     temp: float = 10.0
+
+    # Tuple return (local, cls logits): an eval-/research-only head, not the
+    # single-logits episodic contract (see train/meta_tune.py).
+    standard_episodic = False
 
     @nn.compact
     def __call__(
@@ -198,6 +206,9 @@ class TokenLabelEpisodicReweight(nn.Module):
     ratio: int = 4
     temp: float = 10.0
 
+    # 4-tuple return: eval-/research-only (see train/meta_tune.py's check).
+    standard_episodic = False
+
     @nn.compact
     def __call__(
         self, x_shot: jax.Array, x_query: jax.Array, train: bool = False
@@ -252,17 +263,22 @@ class TokenLabelEpisodicChannelAttn(nn.Module):
     encoder: nn.Module
     temp: float = 10.0
 
+    # Tuple return: eval-/research-only (see train/meta_tune.py's check).
+    standard_episodic = False
+
     @nn.compact
     def __call__(
         self, x_shot: jax.Array, x_query: jax.Array, train: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
         fs, fq, ps, pq = _encode_episode(self.encoder, x_shot, x_query, train)
         e, way, shot, t, c = fs.shape
-        fs_flat = fs.reshape(e, way, shot * t, c)
         # (query tokens tiled over shots)^T @ support tokens, scaled by
         # sqrt(shot*T), softmax over the second channel axis (``:292-294``).
-        fq_full = jnp.tile(fq[:, :, None], (1, 1, way, shot, 1))
-        attn = jnp.einsum("eqnxc,enxd->eqncd", fq_full, fs_flat)
+        # The reference materializes the expand/tile of the query tokens to
+        # (.., way, shot*T, C); tiled index x=s*T+i is fq[i] against
+        # fs[s, i], so the contraction collapses to one einsum summing over
+        # (shot, token) — identical values, no (E,Q,way,shot*T,C) tensor.
+        attn = jnp.einsum("eqic,ensid->eqncd", fq, fs)
         attn = jax.nn.softmax(attn / float(shot * t) ** 0.5, axis=-1)
         # feat_query @ attn^T (``:295``)
         fq_attn = jnp.einsum("eqtj,eqnij->eqnti", fq, attn)
@@ -289,6 +305,9 @@ class TokenLabelV2(nn.Module):
     n_classes: int
     dim: int = 128
     dtype: Any = jnp.float32
+
+    # Whole-classification signature: not episodic (see train/meta_tune.py).
+    standard_episodic = False
 
     @nn.compact
     def __call__(

@@ -35,6 +35,23 @@ from .runner import (
 from .state import TrainState
 
 
+def check_standard_episodic(head, name: str) -> None:
+    """Fail fast — at config time, not deep inside a jit trace — when the
+    selected head does not implement the standard episodic contract this loop
+    drives: ``apply(vars, x_shot (E,way,shot,...), x_query (E,Q,...)) ->
+    (E,Q,way) logits``. The research/eval-only ports (token-label-ep*,
+    meta-token*) and the whole-classification / SUN-D heads mark themselves
+    with ``standard_episodic = False``."""
+    if not getattr(head, "standard_episodic", True):
+        raise ValueError(
+            f"model {name!r} does not implement the standard episodic "
+            "(x_shot, x_query) -> (E, Q, way) logits contract and cannot be "
+            "meta-tuned by this loop. It is a research/eval-only or "
+            "phase-specific head — see docs/PARITY.md (research ports) and "
+            "train/meta_tune_emd.py (DeepEMD)."
+        )
+
+
 def main(cfg, args) -> TrainState:
     logger = RunLogger(save_dir_for(cfg, args, f"meta_tune_{cfg.get('train_dataset')}"))
     logger.log(f"config: {cfg.to_dict()}")
@@ -63,6 +80,7 @@ def main(cfg, args) -> TrainState:
         temp_learnable=bool(cfg.get("model_args.temp_learnable", True)),
         dtype=model_dtype(cfg),
     )
+    check_standard_episodic(head, cfg.get("model", "meta-baseline"))
     img = train_ds.images.shape[1]
     xs0 = jnp.zeros((1, way, shot, img, img, 3), jnp.float32)
     xq0 = jnp.zeros((1, way * query, img, img, 3), jnp.float32)

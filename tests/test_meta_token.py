@@ -153,3 +153,42 @@ class TestMetaTokenParity:
             variables = head.init(jax.random.key(0), x_shot, x_query)
             logits, cls_logits = head.apply(variables, x_shot, x_query)
             assert logits.shape[0] == 1 and cls_logits.shape == (1, 4, 2)
+
+
+class TestGuards:
+    def test_method_must_be_cos(self):
+        """The factories reject non-cosine metrics instead of silently
+        computing cosine (the reference crashes for metric='sqr' too)."""
+        from fewshot_vit_tpu.core import models
+        import fewshot_vit_tpu.heads  # noqa: F401
+        import fewshot_vit_tpu.models  # noqa: F401
+
+        for name in ("meta-token", "meta-token-v2", "meta-token-v3"):
+            with pytest.raises(ValueError, match="cos"):
+                models.make(name, encoder="resnet12", method="sqr")
+
+    def test_sampling_rate_too_small_raises(self):
+        """A rate keeping zero patches fails loudly, not with a 0/0."""
+        from fewshot_vit_tpu.heads.meta_token import sampling_keep, sampling_pool
+
+        token = jnp.zeros((1, 2, 1, 8))
+        feature = jnp.zeros((1, 2, 1, 4, 8))
+        for fn in (sampling_pool, sampling_keep):
+            with pytest.raises(ValueError, match="0 patches"):
+                fn(token, feature, rate=0.1)
+
+    def test_not_standard_episodic(self):
+        """Research heads mark themselves out of the standard meta-tune loop,
+        and the loop's check rejects them with a pointed error."""
+        from fewshot_vit_tpu.core import models
+        from fewshot_vit_tpu.train.meta_tune import check_standard_episodic
+        import fewshot_vit_tpu.heads  # noqa: F401
+        import fewshot_vit_tpu.models  # noqa: F401
+
+        for name in ("meta-token", "meta-token-v2", "meta-token-v3",
+                     "token-label-ep", "token-label-ep-rw", "token-label-ep-cr"):
+            head = models.make(name, encoder="resnet12")
+            with pytest.raises(ValueError, match="episodic"):
+                check_standard_episodic(head, name)
+        baseline = models.make("meta-baseline", encoder="resnet12")
+        check_standard_episodic(baseline, "meta-baseline")  # no raise
