@@ -71,19 +71,19 @@ _DTYPE_NAMES = {
 }
 
 
-def model_dtype(cfg: Config):
-    """Compute dtype for the model from ``model_args.dtype``.
+def model_dtype(cfg: Config, key: str = "model_args.dtype", default="float32"):
+    """Compute dtype for the model from ``model_args.dtype`` (or ``key``).
 
     ``bfloat16`` gives mixed-precision training the TPU way: parameters and
     optimizer state stay fp32 (flax param dtype), activations and matmuls run
     bfloat16 on the MXU, and every loss is computed in fp32 (the steps cast
     logits up before the cross-entropy)."""
-    name = str(cfg.get("model_args.dtype", "float32")).lower()
+    name = str(cfg.get(key, default)).lower()
     try:
         return _DTYPE_NAMES[name]
     except KeyError:
         raise ValueError(
-            f"model_args.dtype={name!r}: expected one of {sorted(_DTYPE_NAMES)}"
+            f"{key}={name!r}: expected one of {sorted(_DTYPE_NAMES)}"
         ) from None
 
 

@@ -53,17 +53,24 @@ def main(cfg, args) -> TrainState:
     visualize_datasets(logger, cfg, train_dataset=train_ds, fs_dataset=fs_ds)
     n_classes = train_ds.n_classes
 
-    def make_token_label():
+    def make_token_label(dtype):
         return models.make(
             "token-label",
             encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
             encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
             classifier_args={"n_classes": n_classes},
-            dtype=model_dtype(cfg),
+            dtype=dtype,
         )
 
-    student = make_token_label()
-    teacher = make_token_label()
+    student = make_token_label(model_dtype(cfg))
+    # The teacher is frozen and only produces top-k soft labels (no gradients
+    # flow through it), so it can run at lower precision than the student —
+    # `teacher_dtype: bfloat16` halves the teacher forward's MXU/HBM cost in
+    # an otherwise-fp32 run. Defaults to the student's dtype.
+    teacher = make_token_label(
+        model_dtype(cfg, key="teacher_dtype",
+                    default=str(cfg.get("model_args.dtype", "float32")))
+    )
 
     img = int(cfg.get("image_size", 80))
     dummy = jnp.zeros((1, img, img, 3), jnp.float32)

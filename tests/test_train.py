@@ -210,6 +210,39 @@ class TestSunStep:
             float(m["cls_loss"]) + 0.5 * float(m["token_loss"]), rel=1e-5
         )
 
+    def test_bf16_teacher_under_fp32_student(self):
+        """`teacher_dtype: bfloat16` (train/sun.py): the frozen teacher may run
+        at lower precision than the student — params are fp32 either way, so
+        the same variables drive both, and the resulting soft labels/losses
+        must stay close to the all-fp32 step."""
+        student = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        teacher32 = TokenLabel(encoder=TinyEncoder(), n_classes=6)
+        teacher16 = TokenLabel(
+            encoder=TinyEncoder(dtype=jnp.bfloat16), n_classes=6,
+            dtype=jnp.bfloat16,
+        )
+        images, labels = small_batch()
+        sv = student.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tv = teacher32.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(sv["params"], "adamw", lr=1e-3)
+
+        def run(teacher):
+            step = make_sun_step(student, teacher, tx, soft_k=2, bg_tokens=1,
+                                 token_weight=0.5)
+            # the step donates the state: give each run its own buffers
+            state = TrainState.create(jax.tree_util.tree_map(jnp.copy, sv), tx)
+            _, m = step(state, tv, images, images, labels, jax.random.key(2))
+            return m
+
+        m32, m16 = run(teacher32), run(teacher16)
+        assert np.isfinite(m16["loss"])
+        # cls loss ignores the teacher entirely -> identical
+        assert float(m16["cls_loss"]) == pytest.approx(float(m32["cls_loss"]), rel=1e-6)
+        # token loss sees bf16-rounded teacher logits -> close, not exact
+        assert float(m16["token_loss"]) == pytest.approx(
+            float(m32["token_loss"]), rel=0.05
+        )
+
     def test_token_weight_zero_is_pure_ce(self):
         student = TokenLabel(encoder=TinyEncoder(), n_classes=6)
         teacher = TokenLabel(encoder=TinyEncoder(), n_classes=6)
