@@ -190,3 +190,49 @@ class TestParityRunScript:
         for f in ("miniImageNet_category_split_test.pickle",
                   "max-va-1shot.pth", "max-va-5shot.pth"):
             assert f in out.stdout
+
+
+class TestGraftEntryBootstrap:
+    """__graft_entry__.dryrun_multichip must never initialize the default
+    (axon relay) backend while deciding how to run: that init blocks forever
+    when the relay tunnel is down. The decision is a pure function of the
+    platform config + XLA_FLAGS strings."""
+
+    def test_decision_is_string_only(self):
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        try:
+            from __graft_entry__ import _emulated_cpu_mesh_ready as ready
+        finally:
+            sys.path.remove(repo)
+
+        flags8 = "--xla_force_host_platform_device_count=8"
+        # the driver/test environment: emulated CPU mesh -> run in-process
+        assert ready(8, "cpu", flags8)
+        assert ready(4, "cpu", flags8)
+        # the dev-box default: axon pinned first -> must re-exec, not init
+        assert not ready(8, "axon,cpu", flags8)
+        assert not ready(8, "axon", flags8)
+        # cpu platform but too few / missing emulated devices -> re-exec
+        assert not ready(8, "cpu", "--xla_force_host_platform_device_count=4")
+        assert not ready(8, "cpu", "")
+
+    def test_inprocess_branch_taken_under_test_env(self, monkeypatch):
+        """Under the conftest env (cpu + 8 emulated devices) the dryrun must
+        take the in-process branch — exercised with the impl stubbed out."""
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        try:
+            import __graft_entry__ as ge
+        finally:
+            sys.path.remove(repo)
+
+        calls = []
+        monkeypatch.setattr(ge, "_dryrun_impl", lambda n: calls.append(("impl", n)))
+        monkeypatch.setattr(ge, "_reexec_dryrun", lambda n: calls.append(("reexec", n)))
+        ge.dryrun_multichip(8)
+        assert calls == [("impl", 8)]
