@@ -116,18 +116,26 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
         def body(state, scan_in):
             idx_b, i = scan_in
             k = jax.random.fold_in(rng, i)
+            # per-episode streams: fold_in(k, e) exactly as before, but carried
+            # as data so a sharded episode axis (idx_b on the mesh's `data`
+            # axis) propagates through the vmap — XLA then scatters episodes
+            # across chips and psums the grads, the reference's DataParallel
+            # pattern (meta_tuning_sun_d/train_meta.py:159).
+            ep_keys = jax.vmap(lambda e: jax.random.fold_in(k, e))(
+                jnp.arange(ep_per_batch))
 
-            def ep_loss(params, e):
+            def ep_loss(params, idx_e, key_e):
                 variables = {"params": params, "batch_stats": state.batch_stats}
-                logits = episode_fn(variables, images[idx_b[e]], jax.random.fold_in(k, e))
+                logits = episode_fn(variables, images[idx_e], key_e)
                 return optax.softmax_cross_entropy_with_integer_labels(
                     logits.astype(jnp.float32), labels
                 ).mean(), logits
 
             if grad_accum:
-                def one(carry, e):
+                def one(carry, scan_e):
+                    idx_e, key_e = scan_e
                     (loss_e, logits_e), grads_e = jax.value_and_grad(
-                        ep_loss, has_aux=True)(state.params, e)
+                        ep_loss, has_aux=True)(state.params, idx_e, key_e)
                     loss_a, acc_a, grads_a = carry
                     acc_e = jnp.mean(
                         (jnp.argmax(logits_e, -1) == labels).astype(jnp.float32))
@@ -138,15 +146,15 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
                 (loss, acc, grads), _ = jax.lax.scan(
                     one, (jnp.float32(0), jnp.float32(0), zeros),
-                    jnp.arange(ep_per_batch))
+                    (idx_b, ep_keys))
                 inv = 1.0 / ep_per_batch
                 loss, acc = loss * inv, acc * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             else:
                 def loss_fn(params):
-                    losses, logits = jax.vmap(lambda e: ep_loss(params, e))(
-                        jnp.arange(ep_per_batch)
-                    )
+                    losses, logits = jax.vmap(
+                        lambda idx_e, key_e: ep_loss(params, idx_e, key_e)
+                    )(idx_b, ep_keys)
                     acc = jnp.mean(
                         (jnp.argmax(logits, -1) == labels[None]).astype(jnp.float32)
                     )
@@ -219,6 +227,45 @@ def main(cfg, args) -> TrainState:
     )
     state = TrainState.create(variables, tx)
 
+    mesh_cfg = cfg.get("mesh")
+    idx_shard = None
+    data_shard = None
+    if mesh_cfg:
+        # Episode parallelism over the mesh: the task batch's episode axis
+        # shards on `data` (each chip holds ONE episode's activations — the
+        # vmapped bs>1 path fits in HBM this way), params/batch_stats
+        # replicate, XLA psums the episode-mean gradients. This is the
+        # reference's DataParallel scatter-episodes pattern
+        # (meta_tuning_sun_d/train_meta.py:82,159) as PartitionSpecs.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh, param_shardings, replicated
+
+        if bool(cfg.get("grad_accum", False)):
+            raise ValueError(
+                "mesh episode parallelism shards the vmapped task batch; it "
+                "is incompatible with grad_accum: true (sequential episodes). "
+                "Drop grad_accum — the mesh already bounds per-chip activation "
+                "memory to one episode."
+            )
+        mesh = make_mesh({k: int(v) for k, v in dict(mesh_cfg).items()})
+        n_data = mesh.shape.get("data", 1)
+        if ep_per_batch % n_data:
+            raise ValueError(
+                f"bs={ep_per_batch} must be a multiple of the mesh data axis "
+                f"({n_data}) to shard the episode axis evenly"
+            )
+        logger.log(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+        pshard = param_shardings(mesh, state.params)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, pshard)
+        new_vars = {"params": params}
+        if state.batch_stats:
+            new_vars["batch_stats"] = jax.device_put(
+                state.batch_stats, replicated(mesh))
+        state = TrainState.create(new_vars, tx)
+        data_shard = replicated(mesh)
+        idx_shard = NamedSharding(mesh, P(None, "data", None))  # (S, E, L)
+
     patch_train = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                                 int(cfg.get("num_patch", 9)),
                                 float(cfg.get("patch_ratio", 2.0)), img, True)
@@ -232,7 +279,7 @@ def main(cfg, args) -> TrainState:
         train=True,
     )
     labels = jnp.tile(jnp.arange(way), query)
-    images_dev = jax.device_put(train_ds.images)
+    images_dev = jax.device_put(train_ds.images, data_shard)
     epoch_fn = make_emd_epoch_fn(
         episode_fn, tx, labels, ep_per_batch,
         grad_accum=bool(cfg.get("grad_accum", False)),
@@ -242,7 +289,7 @@ def main(cfg, args) -> TrainState:
     patch_eval = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                                int(cfg.get("num_patch", 9)),
                                float(cfg.get("patch_ratio", 2.0)), img, False)
-    val_images = jax.device_put(val_ds.images)
+    val_images = jax.device_put(val_ds.images, data_shard)
 
     from ..eval.emd_eval import (
         group_episode_indices,
@@ -310,7 +357,10 @@ def main(cfg, args) -> TrainState:
             interleaved(train_sampler.batch(ep_rng), ep_per_batch)
             for _ in range(train_batches)
         ]).astype(np.int32)
-        state, ms = epoch_fn(state, images_dev, jnp.asarray(idx), rng_mod.epoch_key(root, epoch))
+        idx = jnp.asarray(idx)
+        if idx_shard is not None:
+            idx = jax.device_put(idx, idx_shard)
+        state, ms = epoch_fn(state, images_dev, idx, rng_mod.epoch_key(root, epoch))
         m = metrics_mean(ms)
 
         accs = np.asarray(val_fn(state.variables, val_images, jnp.asarray(val_idx),
@@ -342,7 +392,8 @@ def main(cfg, args) -> TrainState:
         ), _eval_epb)
         # val images are already device-resident when no test_dataset is
         # configured — don't double the eval image HBM footprint
-        test_images = val_images if test_ds is val_ds else jax.device_put(test_ds.images)
+        test_images = (val_images if test_ds is val_ds
+                       else jax.device_put(test_ds.images, data_shard))
         accs = np.asarray(val_fn(best_vars, test_images, jnp.asarray(test_idx),
                                  rng_mod.epoch_key(root, 1)))[:test_episodes]
         m_t, ci_t = mean_confidence_interval(accs)

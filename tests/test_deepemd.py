@@ -517,3 +517,83 @@ class TestTaskBatching:
         for a, b in zip(out[False][2], out[True][2]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestMeshEmdTrain:
+    def test_mesh_episode_parallel_epoch_matches_single_device(self, devices8):
+        """`mesh:` in phase 3b (train/meta_tune_emd.py): the task batch's
+        episode axis shards over `data` (the reference's DataParallel
+        scatter-episodes pattern, train_meta.py:82,159) and must reproduce the
+        single-device epoch exactly — same loss/acc stream and same params
+        after the updates."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fewshot_vit_tpu.parallel import make_mesh
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_emd_epoch_fn, make_patch_fn,
+        )
+        from fewshot_vit_tpu.train.state import TrainState
+
+        way, shot, query, epb = 3, 1, 4, 8
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = optax.sgd(1e-2, momentum=0.9)
+        patch_fn = make_patch_fn("fcn", [2], 4, 2.0, 16, train=True)
+        episode_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                         (0.5,) * 3, (0.5,) * 3, sfc=False)
+        labels = jnp.tile(jnp.arange(way), query)
+        rng = np.random.default_rng(0)
+        n_img = 60
+        images = np.asarray(
+            rng.integers(0, 256, (n_img, 16, 16, 3)).astype(np.uint8))
+        idx = np.asarray(
+            rng.integers(0, n_img, (2, epb, way * (shot + query))).astype(np.int32))
+
+        def run(shard):
+            vs = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+            if shard:
+                mesh = make_mesh({"data": 8})
+                vs = jax.device_put(vs, NamedSharding(mesh, P()))
+                im = jax.device_put(jnp.asarray(images), NamedSharding(mesh, P()))
+                ix = jax.device_put(jnp.asarray(idx),
+                                    NamedSharding(mesh, P(None, "data", None)))
+            else:
+                im, ix = jnp.asarray(images), jnp.asarray(idx)
+            state = TrainState.create(vs, tx)
+            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb, grad_accum=False)
+            state, ms = ep(state, im, ix, jax.random.key(1))
+            return (np.asarray(ms["loss"]), np.asarray(ms["acc"]),
+                    jax.tree_util.tree_leaves(jax.device_get(state.params)))
+
+        base, meshed = run(False), run(True)
+        np.testing.assert_allclose(meshed[0], base[0], rtol=1e-5)
+        np.testing.assert_allclose(meshed[1], base[1], rtol=1e-6)
+        for a, b in zip(base[2], meshed[2]):
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+class TestMeshGradAccumRejected:
+    def test_pointed_error_through_main(self, tmp_path):
+        """mesh + grad_accum: true must fail at config time with a pointed
+        error (the mesh shards the vmapped task batch; sequential accumulation
+        contradicts it), not deep inside jit."""
+        import argparse
+
+        from fewshot_vit_tpu.core.config import Config
+        from fewshot_vit_tpu.train import meta_tune_emd
+
+        cfg = Config({
+            "train_dataset": "synthetic",
+            "train_dataset_args":
+                {"n_classes": 6, "n_per_class": 10, "image_size": 16},
+            "model_args": {"encoder": "resnet12"},
+            "deepemd": "fcn", "way": 3, "shot": 1, "query": 4,
+            "image_size": 16,
+            "bs": 4, "grad_accum": True, "mesh": {"data": 2},
+            "max_epoch": 1, "train_batches": 1,
+        })
+        args = argparse.Namespace(seed=0, name="mesh_reject", tag=None,
+                                  save_root=str(tmp_path), profile_dir=None)
+        with pytest.raises(ValueError, match="grad_accum"):
+            meta_tune_emd.main(cfg, args)
