@@ -22,38 +22,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import subprocess
-import sys
 import time
 
 import numpy as np
 
-# Watchdog wall limit. Warm-cache runs finish in ~2 min; a cold remote
-# compile adds a few more. Past this, the device relay is hung (its
-# blocking C call never returns, so only an external kill works).
-_WATCHDOG_SECS = 1500
-
-
-def _watchdog_reexec():
-    """Run the real bench as a killable child: when the device relay tunnel
-    is down, ``jax.devices()`` blocks forever inside a GIL-holding C call
-    (observed on this box), where neither SIGALRM handlers nor watchdog
-    threads can run — only an external kill works. A hung bench is worse
-    than a failed one: fail loudly instead."""
-    env = dict(os.environ, _BENCH_CHILD="1")
-    try:
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, timeout=_WATCHDOG_SECS)
-    except subprocess.TimeoutExpired:
-        print(f"bench watchdog: no result after {_WATCHDOG_SECS}s "
-              "(device relay unreachable?)", file=sys.stderr, flush=True)
-        sys.exit(2)
-    sys.exit(proc.returncode)
+from fewshot_vit_tpu.core.watchdog import watchdog_reexec
 
 
 def main():
-    if os.environ.get("_BENCH_CHILD") != "1":
-        _watchdog_reexec()
+    # Warm-cache runs finish in ~2 min; a cold remote compile adds a few
+    # more. Past 1500s the device relay is hung — fail loudly.
+    watchdog_reexec(timeout_s=1500)
     import jax
     import jax.numpy as jnp
 

@@ -249,7 +249,14 @@ def main(cfg, args) -> TrainState:
                 "memory to one episode."
             )
         mesh = make_mesh({k: int(v) for k, v in dict(mesh_cfg).items()})
-        n_data = mesh.shape.get("data", 1)
+        if "data" not in mesh.shape:
+            raise ValueError(
+                f"mesh: {dict(mesh.shape)} has no 'data' axis — SUN-D meta "
+                "tuning parallelizes over EPISODES, so the mesh must name a "
+                "data axis (e.g. mesh: {data: 8}). Tensor-parallel-only "
+                "meshes belong to the pretrain/SUN phases."
+            )
+        n_data = mesh.shape["data"]
         if ep_per_batch % n_data:
             raise ValueError(
                 f"bs={ep_per_batch} must be a multiple of the mesh data axis "

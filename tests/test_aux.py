@@ -218,6 +218,40 @@ class TestGraftEntryBootstrap:
         # cpu platform but too few / missing emulated devices -> re-exec
         assert not ready(8, "cpu", "--xla_force_host_platform_device_count=4")
         assert not ready(8, "cpu", "")
+        # repeated flag: XLA's parser honors the LAST occurrence, so must we
+        # (the re-exec append pattern can produce such strings upstream)
+        assert not ready(8, "cpu", "--xla_force_host_platform_device_count=16 "
+                                   "--xla_force_host_platform_device_count=2")
+        assert ready(8, "cpu", "--xla_force_host_platform_device_count=2 "
+                               "--xla_force_host_platform_device_count=8")
+
+    def test_real_devices_path(self, monkeypatch):
+        """A backend ALREADY initialized with >= n devices runs in-process
+        (covers a genuine multi-chip host); an uninitialized backend is never
+        touched unless GRAFT_DRYRUN_REAL=1 opts in."""
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo)
+        try:
+            import __graft_entry__ as ge
+        finally:
+            sys.path.remove(repo)
+        from jax._src import xla_bridge
+
+        # under the conftest env the cpu backend gets initialized by other
+        # tests; emulate both states explicitly
+        monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+        monkeypatch.delenv("GRAFT_DRYRUN_REAL", raising=False)
+        assert not ge._real_devices_ready(8)
+
+        monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: True)
+        assert ge._real_devices_ready(8)      # 8 emulated devices visible
+        assert not ge._real_devices_ready(64)
+
+        monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+        monkeypatch.setenv("GRAFT_DRYRUN_REAL", "1")
+        assert ge._real_devices_ready(8)
 
     def test_inprocess_branch_taken_under_test_env(self, monkeypatch):
         """Under the conftest env (cpu + 8 emulated devices) the dryrun must

@@ -597,3 +597,27 @@ class TestMeshGradAccumRejected:
                                   save_root=str(tmp_path), profile_dir=None)
         with pytest.raises(ValueError, match="grad_accum"):
             meta_tune_emd.main(cfg, args)
+
+    def test_mesh_without_data_axis_rejected(self, tmp_path):
+        """A mesh with no `data` axis (e.g. copied from a tensor-parallel
+        pretrain config) must fail at config time with a pointed error, not a
+        raw jax PartitionSpec resource error."""
+        import argparse
+
+        from fewshot_vit_tpu.core.config import Config
+        from fewshot_vit_tpu.train import meta_tune_emd
+
+        cfg = Config({
+            "train_dataset": "synthetic",
+            "train_dataset_args":
+                {"n_classes": 6, "n_per_class": 10, "image_size": 16},
+            "model_args": {"encoder": "resnet12"},
+            "deepemd": "fcn", "way": 3, "shot": 1, "query": 4,
+            "image_size": 16,
+            "bs": 4, "mesh": {"model": 2},
+            "max_epoch": 1, "train_batches": 1,
+        })
+        args = argparse.Namespace(seed=0, name="mesh_no_data", tag=None,
+                                  save_root=str(tmp_path), profile_dir=None)
+        with pytest.raises(ValueError, match="no 'data' axis"):
+            meta_tune_emd.main(cfg, args)

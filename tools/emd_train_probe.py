@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -36,11 +38,18 @@ def main():
                     help="also time bs=4 vmapped (can exceed HBM at full "
                          "query counts — off by default)")
     ap.add_argument("--tiny", action="store_true",
-                    help="correctness smoke (2-way 2-query, 1 step, 1 repeat) "
-                         "— runs on CPU; numbers are meaningless")
+                    help="correctness smoke: forces the CPU platform, tiny "
+                         "encoder at 32px, 2-way 2-query, 1 step — numbers "
+                         "are meaningless")
     args = ap.parse_args()
+    watchdog_reexec(timeout_s=120 if args.tiny else 1800)
 
     import jax
+
+    if args.tiny:
+        # env-var platform pinning is ignored on this box (sitecustomize);
+        # only jax.config.update after import actually leaves the relay.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -61,10 +70,11 @@ def main():
 
     enable_compilation_cache()
     way, shot, query = 5, 1, 15
+    img = 80
     if args.tiny:
         way, query = 2, 2
         args.steps, args.repeats, args.vmap_bs4 = 1, 1, False
-    img = 80
+        img = 32
     ds = datasets.make("synthetic", n_classes=20, n_per_class=200,
                        image_size=img, seed=0)
     images_dev = jax.device_put(ds.images)
@@ -86,8 +96,26 @@ def main():
             optax.sgd(sched, momentum=0.9, nesterov=True),
         )
 
+    def make_head(dtype):
+        if args.tiny:
+            # the smoke checks the epoch program's structure, not the model:
+            # a 2-conv encoder keeps the CPU compile to seconds.
+            import flax.linen as nn
+
+            from fewshot_vit_tpu.heads import DeepEMD
+
+            class _TinyEnc(nn.Module):
+                @nn.compact
+                def __call__(self, x, train=False):
+                    x = nn.relu(nn.Conv(8, (3, 3), strides=(2, 2))(x))
+                    x = nn.relu(nn.Conv(8, (3, 3), strides=(2, 2))(x))
+                    return x, x.mean(axis=(1, 2))
+
+            return DeepEMD(encoder=_TinyEnc(), solver_iters=5)
+        return models.make("deepemd", encoder="visformer_micro_80", dtype=dtype)
+
     def run(tag, dtype, bs, grad_accum):
-        head = models.make("deepemd", encoder="visformer_micro_80", dtype=dtype)
+        head = make_head(dtype)
         with jax.default_device(jax.devices("cpu")[0]):
             variables = head.init(jax.random.key(0), jnp.zeros((1, img, img, 3)))
         variables = jax.device_put(variables)

@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -29,6 +31,7 @@ def main():
                     help="bf16 teacher under the current student dtype "
                          "(the `teacher_dtype: bfloat16` config knob)")
     args = ap.parse_args()
+    watchdog_reexec(timeout_s=1800)
     import jax
     import jax.numpy as jnp
     import optax
