@@ -270,3 +270,48 @@ class TestGraftEntryBootstrap:
         monkeypatch.setattr(ge, "_reexec_dryrun", lambda n: calls.append(("reexec", n)))
         ge.dryrun_multichip(8)
         assert calls == [("impl", 8)]
+
+
+class TestWatchdog:
+    """core/watchdog.py: every timing tool re-execs as a killable child so a
+    downed device relay fails loudly instead of hanging forever."""
+
+    def test_timeout_kills_child_and_exits_2(self, tmp_path):
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = tmp_path / "hang.py"
+        script.write_text(
+            "import sys, time\n"
+            f"sys.path.insert(0, {repr(repo)})\n"
+            "from fewshot_vit_tpu.core.watchdog import watchdog_reexec\n"
+            "watchdog_reexec(timeout_s=2)\n"
+            "time.sleep(60)\n"
+        )
+        t0 = __import__("time").perf_counter()
+        out = subprocess.run([sys.executable, str(script)],
+                             capture_output=True, text=True, timeout=30)
+        assert out.returncode == 2
+        assert "watchdog" in out.stderr
+        assert __import__("time").perf_counter() - t0 < 20
+
+    def test_child_runs_once_and_propagates_status(self, tmp_path):
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        marker = tmp_path / "runs.txt"
+        script = tmp_path / "ok.py"
+        script.write_text(
+            "import sys\n"
+            f"sys.path.insert(0, {repr(repo)})\n"
+            "from fewshot_vit_tpu.core.watchdog import watchdog_reexec\n"
+            "watchdog_reexec(timeout_s=30)\n"
+            f"open({repr(str(marker))}, 'a').write('x')\n"
+            "sys.exit(7)\n"
+        )
+        out = subprocess.run([sys.executable, str(script)],
+                             capture_output=True, text=True, timeout=60)
+        assert out.returncode == 7          # child status propagates
+        assert marker.read_text() == "x"    # body ran exactly once

@@ -39,6 +39,8 @@ def bench(name, fn, *args, iters=20):
 
 
 def main():
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=1800)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8))
     x80 = jnp.asarray(rng.random((B, OUT, OUT, 3), dtype=np.float32) * 255)

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=1800)
     import jax
     import jax.numpy as jnp
 

@@ -68,6 +68,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=1800)
 
     import jax
     import jax.numpy as jnp

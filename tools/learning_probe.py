@@ -123,6 +123,8 @@ def run(save_root: str, epochs1: int = 12, epochs2: int = 8, epochs3: int = 3,
 
 
 def main():
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=7200)
     import tempfile
 
     save_root = os.environ.get("LPROBE_SAVE") or tempfile.mkdtemp(prefix="lprobe_")

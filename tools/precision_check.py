@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=1800)
     import jax
     import jax.numpy as jnp
 

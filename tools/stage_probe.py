@@ -24,6 +24,8 @@ def timeit(fn, *args, reps=3):
 
 
 def main():
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=1800)
     import jax
     import jax.numpy as jnp
 

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--only", choices=["all", "pretrain", "sun"], default="all")
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
+    from fewshot_vit_tpu.core.watchdog import watchdog_reexec
+    watchdog_reexec(timeout_s=1800)
     import jax
     import jax.numpy as jnp
     import optax
