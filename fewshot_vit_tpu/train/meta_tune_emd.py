@@ -69,14 +69,27 @@ def make_patch_fn(mode: str, patch_list, num_patch: int, patch_ratio: float,
 def make_emd_episode_fn(
     head, way: int, shot: int, query: int, patch_fn: Callable,
     mean, std, sfc: bool, sfc_kw=None, train: bool = False,
+    remat: bool = False,
 ):
     """(variables, images u8 (way*(shot+query), H, W, 3), rng) -> logits (way*query, way).
 
-    Interleaved episode layout: index t*way + w -> (class w, item t)."""
+    Interleaved episode layout: index t*way + w -> (class w, item t).
+
+    ``remat=True`` wraps the encoder in ``jax.checkpoint``: the backward pass
+    recomputes encoder activations instead of storing them across the
+    EMD/Sinkhorn phase — a grid episode encodes way*(shot+query)*13 patch
+    images, so this is what lets a VMAPPED task batch (bs>1) fit HBM
+    (identical losses/grads, unit-tested)."""
     sfc_kw = dict(sfc_kw or {})
 
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
+
+    def encode(variables, x):
+        return head.apply(variables, x, False, method=head.encode_nodes)
+
+    if remat:
+        encode = jax.checkpoint(encode)
 
     def fn(variables, images_u8, rng):
         k1, k2 = jax.random.split(rng)
@@ -86,7 +99,7 @@ def make_emd_episode_fn(
         # stats under vmap would diverge per episode (the reference's
         # DataParallel BN had per-replica drift instead — see SURVEY.md §7
         # "BatchNorm under data parallelism").
-        nodes = head.apply(variables, x, False, method=head.encode_nodes)
+        nodes = encode(variables, x)
         k = way * shot
         shot_nodes = nodes[:k].reshape(shot, way, *nodes.shape[1:])
         proto = shot_nodes.mean(axis=0)  # (way, N, C)
@@ -283,7 +296,7 @@ def main(cfg, args) -> TrainState:
     episode_fn = make_emd_episode_fn(
         head, way, shot, query, patch_train, mean, std,
         sfc=shot > 1, sfc_kw=sfc_kw,
-        train=True,
+        train=True, remat=bool(cfg.get("remat", False)),
     )
     labels = jnp.tile(jnp.arange(way), query)
     images_dev = jax.device_put(train_ds.images, data_shard)

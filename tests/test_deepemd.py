@@ -518,6 +518,46 @@ class TestTaskBatching:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_remat_identical_losses_and_params(self):
+        """`remat: true` (jax.checkpoint around the encoder, the HBM lever
+        that lets a VMAPPED task batch fit) must be a pure memory/FLOPs trade:
+        bit-identical losses and updated params vs the plain episode fn."""
+        import optax
+
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_emd_epoch_fn, make_patch_fn,
+        )
+        from fewshot_vit_tpu.train.state import TrainState
+        from .test_heads_eval import TinyEncoder
+        from fewshot_vit_tpu.heads.deepemd import DeepEMD
+
+        way, shot, query, epb = 3, 1, 4, 2
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = optax.sgd(1e-2, momentum=0.9)
+        patch_fn = make_patch_fn("grid", [2], 4, 2.0, 16, True)
+        labels = jnp.tile(jnp.arange(way), query)
+        rng = np.random.default_rng(2)
+        n_img = 60
+        images = jnp.asarray(rng.integers(0, 256, (n_img, 16, 16, 3)).astype(np.uint8))
+        idx = jnp.asarray(
+            rng.integers(0, n_img, (2, epb, way * (shot + query))).astype(np.int32))
+
+        out = {}
+        for remat in (False, True):
+            episode_fn = make_emd_episode_fn(
+                head, way, shot, query, patch_fn, (0.5,) * 3, (0.5,) * 3,
+                sfc=False, train=True, remat=remat)
+            state = TrainState.create(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables), tx)
+            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb, grad_accum=False)
+            state, ms = ep(state, images, idx, jax.random.key(1))
+            out[remat] = (np.asarray(ms["loss"]),
+                          jax.tree_util.tree_leaves(state.params))
+        np.testing.assert_array_equal(out[False][0], out[True][0])
+        for a, b in zip(out[False][1], out[True][1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestMeshEmdTrain:
     def test_mesh_episode_parallel_epoch_matches_single_device(self, devices8):

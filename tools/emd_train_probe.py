@@ -114,7 +114,7 @@ def main():
             return DeepEMD(encoder=_TinyEnc(), solver_iters=5)
         return models.make("deepemd", encoder="visformer_micro_80", dtype=dtype)
 
-    def run(tag, dtype, bs, grad_accum):
+    def run(tag, dtype, bs, grad_accum, remat=False):
         head = make_head(dtype)
         with jax.default_device(jax.devices("cpu")[0]):
             variables = head.init(jax.random.key(0), jnp.zeros((1, img, img, 3)))
@@ -123,7 +123,7 @@ def main():
         state = TrainState.create(variables, tx)
         episode_fn = make_emd_episode_fn(
             head, way, shot, query, patch_fn, ds.mean, ds.std,
-            sfc=False, train=True,
+            sfc=False, train=True, remat=remat,
         )
         epoch_fn = make_emd_epoch_fn(episode_fn, tx, labels, bs,
                                      grad_accum=grad_accum)
@@ -152,6 +152,10 @@ def main():
         run("fp32, bs=4, vmapped", jnp.float32, 4, False)
     run("fp32, bs=4, grad_accum", jnp.float32, 4, True)
     run("bf16 encoder, bs=4, grad_accum", jnp.bfloat16, 4, True)
+    # remat: jax.checkpoint around the encoder lets the VMAPPED task batch
+    # fit HBM (stored grid activations would otherwise exceed it)
+    run("fp32, bs=4, vmapped + remat", jnp.float32, 4, False, remat=True)
+    run("bf16 encoder, bs=4, vmapped + remat", jnp.bfloat16, 4, False, remat=True)
 
 
 if __name__ == "__main__":
