@@ -66,9 +66,11 @@ def _row_shift_bilinear(x: jax.Array, t: jax.Array,
     MXU's bf16 operand format) and the image rides in as a hi+lo bf16 split,
     so the fp32 result is exact to ~2^-18 * 255 ~= 1e-3 gray levels. The two
     bilinear taps are one matmul over channel-stacked shifted copies.
-    Out-of-bounds pixels take the timm fill color.
+    Edge semantics are PIL's (Geometry.c): a sample is INSIDE iff its center
+    +0.5 lies in [0, W); inside samples' bilinear taps CLAMP to the border
+    pixel (no fill bleed), outside samples take the timm fill color outright.
 
-    ``max_shift`` (static) bounds |t| and sets the fill-pad width — callers
+    ``max_shift`` (static) bounds |t| and sets the edge-pad width — callers
     that know their shift range (all the RandAugment ops do) shrink the
     selection matrix, the dominant HBM transient, by 2-3x. Default pads the
     full W-1: shifts that large produce an (almost) all-fill image anyway.
@@ -76,8 +78,14 @@ def _row_shift_bilinear(x: jax.Array, t: jax.Array,
     b, h, w, c = x.shape
     pad = w if max_shift is None else min(int(math.ceil(max_shift)) + 1, w)
     x = x.astype(jnp.float32)
-    fill = jnp.broadcast_to(_FILL, (b, h, pad, c)).astype(jnp.float32)
-    xp = jnp.concatenate([fill, x, fill], axis=2)  # (B, H, W+2*pad, C)
+    # PIL inside test, from the UNCLIPPED shift (clipping below never binds
+    # for callers that pass a true max_shift; this keeps the mask exact)
+    sx = t[..., None] + jnp.arange(w, dtype=jnp.float32)  # (B, H, W)
+    inside = (sx + 0.5 >= 0.0) & (sx + 0.5 < w)
+    # edge-replicate padding = PIL's tap clamping at the border
+    edge_l = jnp.broadcast_to(x[:, :, :1], (b, h, pad, c))
+    edge_r = jnp.broadcast_to(x[:, :, -1:], (b, h, pad, c))
+    xp = jnp.concatenate([edge_l, x, edge_r], axis=2)  # (B, H, W+2*pad, C)
     t = jnp.clip(t, -(pad - 1.0), pad - 1.0)
     k = jnp.floor(t)
     f = (t - k)[..., None, None]
@@ -101,7 +109,9 @@ def _row_shift_bilinear(x: jax.Array, t: jax.Array,
                    preferred_element_type=jnp.float32)  # (B, H, W, 4C)
     g0 = g[..., :c] + g[..., c:2 * c]
     g1 = g[..., 2 * c:3 * c] + g[..., 3 * c:]
-    return (1.0 - f) * g0 + f * g1
+    out = (1.0 - f) * g0 + f * g1
+    fill = jnp.asarray(_FILL, jnp.float32).reshape((1,) * 3 + (c,))
+    return jnp.where(inside[..., None], out, fill)
 
 
 def _col_shift_bilinear(x: jax.Array, t: jax.Array,
@@ -159,15 +169,24 @@ def rotate(x: jax.Array, degrees: jax.Array) -> jax.Array:
 
 def shear(x: jax.Array, fx: jax.Array, fy: jax.Array,
           max_factor: float = 0.31) -> jax.Array:
-    """PIL affine shear (centered). Applied as an x-pass then a y-pass; for
-    single-axis shears — the only form RandAugment uses — this equals the
-    joint 2-D bilinear resample exactly (the bilinear kernel is separable).
-    ``max_factor`` (static) bounds |fx|,|fy|; RandAugment's ceiling is 0.3."""
+    """PIL affine shear, anchored at the top-left ORIGIN like timm's
+    ``img.transform(AFFINE, (1, f, 0, 0, 1, 0))``: output row y samples input
+    column x + f*(y+0.5) (PIL maps pixel centers), so the top row is (almost)
+    fixed and displacement grows one-sided down the image (a centered anchor
+    would halve the displacement range — a distribution the reference
+    pipeline never produces). PIL-golden-tested. Applied as an
+    x-pass then a y-pass; for single-axis shears — the only form RandAugment
+    uses — this equals the joint 2-D bilinear resample exactly (the bilinear
+    kernel is separable). ``max_factor`` (static) bounds |fx|,|fy|;
+    RandAugment's ceiling is 0.3."""
     h, w = x.shape[1], x.shape[2]
-    out = _row_shift_bilinear(x, fx[:, None] * _centered(h)[None, :],
-                              max_factor * (h - 1) / 2.0)
-    return _col_shift_bilinear(out, fy[:, None] * _centered(w)[None, :],
-                               max_factor * (w - 1) / 2.0)
+    # PIL samples output pixel centers: row y's shift is f*(y + 0.5)
+    rows = jnp.arange(h, dtype=jnp.float32) + 0.5
+    cols = jnp.arange(w, dtype=jnp.float32) + 0.5
+    out = _row_shift_bilinear(x, fx[:, None] * rows[None, :],
+                              max_factor * h)
+    return _col_shift_bilinear(out, fy[:, None] * cols[None, :],
+                               max_factor * w)
 
 
 def translate(x: jax.Array, tx: jax.Array, ty: jax.Array,
@@ -474,9 +493,13 @@ def _ra_apply(op_idx: jax.Array, x: jax.Array, mag: jax.Array,
         lambda y: equalize(y),
         lambda y: invert(y),
         lambda y: rotate(y, sign * 30.0 * frac),
-        lambda y: posterize(y, jnp.round(4.0 + 4.0 * frac)),  # inc: 4 + int(4*frac)
-        lambda y: solarize(y, 255.0 - jnp.round(255.0 * frac)),  # inc: 255 - int
-        lambda y: solarize_add(y, jnp.round(110.0 * frac)),
+        # PosterizeIncreasing: keep 4 - int(4*frac) bits — severity RISES with
+        # magnitude (timm _posterize_increasing_level_to_arg; at m=9 this
+        # keeps 1 bit, not ~8 = identity)
+        lambda y: posterize(y, 4.0 - jnp.floor(4.0 * frac)),
+        # SolarizeIncreasing: threshold 256 - int(256*frac)
+        lambda y: solarize(y, 256.0 - jnp.floor(256.0 * frac)),
+        lambda y: solarize_add(y, jnp.floor(110.0 * frac)),
         lambda y: saturation(y, enhance_factor()),
         lambda y: contrast(y, enhance_factor()),
         lambda y: brightness(y, enhance_factor()),

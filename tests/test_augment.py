@@ -45,6 +45,30 @@ class TestPixelOpsGolden:
         ])
         np.testing.assert_array_equal(got, want)
 
+    def test_inc1_severity_args(self):
+        """timm inc1 level->arg math through _ra_apply: severity INCREASES
+        with magnitude. PosterizeIncreasing keeps 4 - int(4*frac) bits (1 bit
+        at m=9, NOT ~8 = identity); SolarizeIncreasing thresholds at
+        256 - int(256*frac); SolarizeAdd adds int(110*frac). Reference: timm
+        auto_augment.py _posterize/_solarize_increasing_level_to_arg."""
+        u8 = rand_img(31, n=2, size=8)
+        x = as_f32(u8)
+        mag = jnp.full((2,), 9.0)
+        sign = jnp.ones((2,))
+        got = np.asarray(A._ra_apply(jnp.asarray(4), x, mag, sign)).astype(np.uint8)
+        want = self._pil_batch(
+            u8, lambda im: ImageOps.posterize(im, 4 - int(0.9 * 4)))
+        np.testing.assert_array_equal(got, want)
+        got = np.asarray(A._ra_apply(jnp.asarray(5), x, mag, sign)).astype(np.uint8)
+        want = self._pil_batch(
+            u8, lambda im: ImageOps.solarize(im, 256 - int(0.9 * 256)))
+        np.testing.assert_array_equal(got, want)
+        got = np.asarray(A._ra_apply(jnp.asarray(6), x, mag, sign)).astype(np.uint8)
+        add = int(0.9 * 110)
+        want = np.where(u8 < 128, np.minimum(u8.astype(np.int32) + add, 255),
+                        u8).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
     def test_autocontrast(self):
         u8 = rand_img(4)
         got = np.asarray(A.autocontrast(as_f32(u8)))
@@ -125,33 +149,43 @@ class TestGeometry:
 
     def test_shear_translate_match_reference_bilinear(self):
         """Fractional shears/translates vs an independent numpy mirror of the
-        centered inverse-map bilinear resample (the PIL affine semantics the
-        reference's timm pipeline uses). Anchors the row-DMA implementation."""
+        inverse-map bilinear resample with timm's exact AFFINE matrices —
+        shear is anchored at the top-left ORIGIN (PIL transform semantics,
+        timm auto_augment shear_x/y), translate is a uniform shift. Anchors
+        the row-DMA implementation."""
         fill = np.array([124.0, 116.0, 104.0], np.float32)
 
         def np_affine(img, inv):
+            # PIL Image.transform(AFFINE) semantics: output pixel (j, i)
+            # samples the input at (a*(j+.5)+b*(i+.5)+c-.5, ...) — pixel
+            # centers; a sample is inside iff its center+0.5 is in [0, size);
+            # inside taps CLAMP to the border, outside pixels take the fill.
             h, w = img.shape[:2]
             out = np.zeros((h, w, 3), np.float32)
             for i in range(h):
                 for j in range(w):
-                    gx, gy = j - (w - 1) / 2, i - (h - 1) / 2
-                    sx = inv[0][0] * gx + inv[0][1] * gy + inv[0][2] + (w - 1) / 2
-                    sy = inv[1][0] * gx + inv[1][1] * gy + inv[1][2] + (h - 1) / 2
+                    sx = inv[0][0] * (j + .5) + inv[0][1] * (i + .5) + inv[0][2] - .5
+                    sy = inv[1][0] * (j + .5) + inv[1][1] * (i + .5) + inv[1][2] - .5
+                    if not (0 <= sx + .5 < w and 0 <= sy + .5 < h):
+                        out[i, j] = fill
+                        continue
                     x0, y0 = int(np.floor(sx)), int(np.floor(sy))
                     dx, dy = sx - x0, sy - y0
                     acc = np.zeros(3, np.float32)
                     for yy, wy in ((y0, 1 - dy), (y0 + 1, dy)):
                         for xx, wx in ((x0, 1 - dx), (x0 + 1, dx)):
-                            v = img[yy, xx] if (0 <= yy < h and 0 <= xx < w) else fill
+                            v = img[min(max(yy, 0), h - 1), min(max(xx, 0), w - 1)]
                             acc += np.float32(wy * wx) * v
                     out[i, j] = acc
             return out
 
         u8 = rand_img(17, n=1, size=16)
         img = u8[0].astype(np.float32)
+        # timm shear_x: transform(AFFINE, (1, factor, 0, 0, 1, 0))
         got = np.asarray(A.shear(as_f32(u8), jnp.array([0.23]), jnp.zeros(1)))[0]
         want = np_affine(img, [[1.0, 0.23, 0.0], [0.0, 1.0, 0.0]])
         assert np.abs(got - want).max() <= 1e-2
+        # timm shear_y: transform(AFFINE, (1, 0, 0, factor, 1, 0))
         got = np.asarray(A.shear(as_f32(u8), jnp.zeros(1), jnp.array([-0.17])))[0]
         want = np_affine(img, [[1.0, 0.0, 0.0], [-0.17, 1.0, 0.0]])
         assert np.abs(got - want).max() <= 1e-2
@@ -161,6 +195,25 @@ class TestGeometry:
         got = np.asarray(A.translate(as_f32(u8), jnp.zeros(1), jnp.array([-0.29])))[0]
         want = np_affine(img, [[1.0, 0.0, 0.0], [0.0, 1.0, -0.29 * 16]])
         assert np.abs(got - want).max() <= 1e-2
+
+    def test_shear_matches_pil_transform(self):
+        """Direct PIL golden: A.shear vs PIL Image.transform with the exact
+        matrices timm's shear_x/shear_y pass — catches any anchor-convention
+        drift the numpy mirror could share with the implementation."""
+        u8 = rand_img(23, n=1, size=20)
+        im = Image.fromarray(u8[0])
+        fill = (124, 116, 104)
+        for fx, fy, mat in [(0.3, 0.0, (1, 0.3, 0, 0, 1, 0)),
+                            (-0.22, 0.0, (1, -0.22, 0, 0, 1, 0)),
+                            (0.0, 0.27, (1, 0, 0, 0.27, 1, 0))]:
+            got = np.asarray(
+                A.shear(as_f32(u8), jnp.array([fx]), jnp.array([fy])))[0]
+            want = np.asarray(
+                im.transform(im.size, Image.AFFINE, mat,
+                             resample=Image.BILINEAR, fillcolor=fill)
+            ).astype(np.float32)
+            # PIL quantizes to uint8 and uses fixed-point taps: 1.5 levels
+            assert np.abs(got - want).max() <= 1.5, (fx, fy)
 
     def test_rotate_small_angle_vs_reference(self):
         """Paeth 3-shear rotation vs the direct 2-D bilinear resample on a
