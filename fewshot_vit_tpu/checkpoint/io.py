@@ -37,9 +37,17 @@ def save_variables(path: str, variables: Any, meta: Optional[Dict] = None) -> No
     """
     path = os.path.abspath(path)
     tmp, old = path + ".tmp", path + ".old"
-    for p in (tmp, old):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            # a previous save crashed between its two renames: ``.old`` is
+            # the only valid checkpoint. Promote it back BEFORE starting the
+            # (slow) new write — deleting it here would leave a crash during
+            # ckptr.save with zero valid checkpoints.
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)  # superseded: ``path`` is complete
     ckptr = _ocp().StandardCheckpointer()
     ckptr.save(os.path.join(tmp, "arrays"), variables)
     ckptr.wait_until_finished()

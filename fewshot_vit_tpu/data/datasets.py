@@ -198,9 +198,11 @@ def image_folder(
             labels.append(ci)
     labels = np.asarray(labels, np.int32)
 
+    from .staging import memmap_cache
+
     cache_path = os.path.join(root_path, f"_cache_{split}_{image_size}.npy")
     if cache_memmap and os.path.exists(cache_path):
-        images = np.load(cache_path, mmap_mode="r")
+        images = memmap_cache(cache_path)
         if len(images) != len(paths):
             raise ValueError(
                 f"stale cache {cache_path}: {len(images)} imgs vs {len(paths)} files"
@@ -212,8 +214,7 @@ def image_folder(
         )
         images = _load_images_threaded(paths, load, image_size)
         if cache_memmap:
-            np.save(cache_path, images)
-            images = np.load(cache_path, mmap_mode="r")
+            images = memmap_cache(cache_path, images)
     return ArrayDataset(images, labels, len(split_classes))
 
 

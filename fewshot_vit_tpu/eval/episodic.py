@@ -23,6 +23,7 @@ Reports mean accuracy with a 95% Student-t confidence interval, exactly as
 
 from __future__ import annotations
 
+import collections
 import math
 from typing import Optional, Tuple
 
@@ -93,7 +94,12 @@ def evaluate(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
-        images_dev = jax.device_put(dataset.images, NamedSharding(mesh, P()))
+        # honor a caller-supplied device-resident copy: replicating it is a
+        # device-to-device transfer, re-uploading dataset.images is a slow
+        # host->device one per call
+        images_dev = jax.device_put(
+            dataset.images if images_dev is None else images_dev,
+            NamedSharding(mesh, P()))
         idx_all = jax.device_put(
             jnp.asarray(idx_all), NamedSharding(mesh, P(None, "data"))
         )
@@ -109,13 +115,30 @@ def evaluate(
 
 # jitted-callable cache: a fresh closure per call would force a full recompile
 # on every invocation (training loops call evaluate() each epoch — on this
-# box's remote-compile path that is ~a minute of wasted wall per epoch)
-_EVAL_RUN_CACHE: dict = {}
+# box's remote-compile path that is ~a minute of wasted wall per epoch).
+# Bounded LRU: entries hold strong refs to models AND compiled executables,
+# so an unbounded dict would pin every head a sweep script ever evaluates.
+_EVAL_RUN_CACHE: "collections.OrderedDict[tuple, tuple]" = collections.OrderedDict()
+_EVAL_RUN_CACHE_MAX = 8
+
+
+def _cache_get(key):
+    hit = _EVAL_RUN_CACHE.get(key)
+    if hit is not None:
+        _EVAL_RUN_CACHE.move_to_end(key)
+    return hit
+
+
+def _cache_put(key, val):
+    _EVAL_RUN_CACHE[key] = val
+    _EVAL_RUN_CACHE.move_to_end(key)
+    while len(_EVAL_RUN_CACHE) > _EVAL_RUN_CACHE_MAX:
+        _EVAL_RUN_CACHE.popitem(last=False)
 
 
 def _eval_run_fn(head_model, way, shot, query, ep_per_batch, mean, std):
     key = (id(head_model), way, shot, query, ep_per_batch, mean, std)
-    hit = _EVAL_RUN_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None and hit[0] is head_model:
         return hit[1]
     labels = make_nk_label(way, query, ep_per_batch)
@@ -133,7 +156,7 @@ def _eval_run_fn(head_model, way, shot, query, ep_per_batch, mean, std):
         _, accs = jax.lax.scan(body, None, idx_all)
         return accs.reshape(-1)
 
-    _EVAL_RUN_CACHE[key] = (head_model, run)
+    _cache_put(key, (head_model, run))
     return run
 
 
@@ -159,7 +182,7 @@ def encode_dataset(
 
 def _encode_run_fn(encoder, n, batch_size, mean, std):
     key = (id(encoder), n, batch_size, mean, std)
-    hit = _EVAL_RUN_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None and hit[0] is encoder:
         return hit[1]
     n_batches = math.ceil(n / batch_size)
@@ -178,13 +201,13 @@ def _encode_run_fn(encoder, n, batch_size, mean, std):
         _, feats = jax.lax.scan(body, None, starts)
         return feats.reshape(n_batches * batch_size, -1)[:n]
 
-    _EVAL_RUN_CACHE[key] = (encoder, run)
+    _cache_put(key, (encoder, run))
     return run
 
 
 def _cached_run_fn(way, shot, query, ep_per_batch, temp):
     key = ("cached", way, shot, query, ep_per_batch, temp)
-    hit = _EVAL_RUN_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None:
         return hit[1]
     labels = make_nk_label(way, query, ep_per_batch)
@@ -201,7 +224,7 @@ def _cached_run_fn(way, shot, query, ep_per_batch, temp):
         _, accs = jax.lax.scan(body, None, idx_all)
         return accs.reshape(-1)
 
-    _EVAL_RUN_CACHE[key] = (None, run)
+    _cache_put(key, (None, run))
     return run
 
 

@@ -41,8 +41,9 @@ def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED, dtype=jnp.float32
         encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
         dtype=dtype,
     )
-    xs0 = jnp.zeros((1, 2, 1, 80, 80, 3), jnp.float32)
-    xq0 = jnp.zeros((1, 2, 80, 80, 3), jnp.float32)
+    img = int(cfg.get("image_size", 80))
+    xs0 = jnp.zeros((1, 2, 1, img, img, 3), jnp.float32)
+    xq0 = jnp.zeros((1, 2, img, img, 3), jnp.float32)
     variables = jax.tree_util.tree_map(
         np.asarray, head.init(jax.random.key(seed), xs0, xq0)
     )
@@ -130,20 +131,33 @@ def main():
 
         mesh = make_mesh({"data": args.mesh_data})
 
+    # one host->device upload, amortized across test epochs; cached mode
+    # reuses the one-time feature encode the same way
+    images_dev = None if args.sauc else jax.device_put(ds.images)
+    feats = None
+    if args.cached:
+        from .episodic import encode_dataset
+
+        feats = encode_dataset(head.encoder, sub_variables(variables, "encoder"),
+                               ds, images_dev=images_dev)
+
     all_accs = []
     for epoch in range(1, args.test_epochs + 1):
         seed = rng_mod.DEFAULT_SEED + epoch - 1
         if args.sauc:
             acc, ci, accs = sauc_eval(head, variables, ds, args.episodes, args.shot, seed=seed)
         elif args.cached:
+            # ep_per_batch matches the default path so both modes draw the
+            # SAME episodes from the same seed — accuracies are comparable
             acc, ci, accs = evaluate_cached(
                 head.encoder, sub_variables(variables, "encoder"), ds,
-                n_episodes=args.episodes, shot=args.shot, ep_per_batch=40, seed=seed,
+                n_episodes=args.episodes, shot=args.shot, ep_per_batch=8,
+                seed=seed, feats=feats,
             )
         else:
             acc, ci, accs = evaluate(
                 head, variables, ds, n_episodes=args.episodes, shot=args.shot,
-                ep_per_batch=8, seed=seed, mesh=mesh,
+                ep_per_batch=8, seed=seed, mesh=mesh, images_dev=images_dev,
             )
         all_accs.extend(accs.tolist())
         m, h = mean_confidence_interval(all_accs)

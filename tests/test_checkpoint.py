@@ -84,6 +84,44 @@ class TestOrbaxRoundTrip:
         restored, meta = load_variables(p)
         assert meta["epoch"] == 7
 
+    def test_old_survives_a_crash_during_the_next_save(self, tmp_path, monkeypatch):
+        """After a crash between the swap renames, '.old' is the ONLY valid
+        checkpoint. The next save must keep a valid checkpoint on disk at
+        every moment — in particular it must NOT delete '.old' before the new
+        arrays are durable (a preemption during the slow orbax write would
+        otherwise lose the run's entire resume state)."""
+        import fewshot_vit_tpu.checkpoint.io as io_mod
+
+        p = str(tmp_path / "ckpt")
+        save_variables(p, {"params": {"w": jnp.full((2,), 7.0)}}, {"epoch": 7})
+        os.rename(p, p + ".old")  # simulate the crash window
+
+        class _Boom(RuntimeError):
+            pass
+
+        real_ocp = io_mod._ocp()
+
+        class _FailingCkptr:
+            def save(self, *a, **k):
+                raise _Boom("preempted mid-write")
+
+        monkeypatch.setattr(
+            io_mod, "_ocp",
+            lambda: type("m", (), {"StandardCheckpointer": _FailingCkptr}))
+        with pytest.raises(_Boom):
+            save_variables(p, {"params": {"w": jnp.zeros((2,))}}, {"epoch": 8})
+        monkeypatch.setattr(io_mod, "_ocp", lambda: real_ocp)
+        # the pre-crash checkpoint must still be loadable
+        restored, meta = load_variables(p)
+        assert meta["epoch"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.full((2,), 7.0))
+        # and a successful retry wins cleanly
+        save_variables(p, {"params": {"w": jnp.full((2,), 8.0)}}, {"epoch": 8})
+        restored, meta = load_variables(p)
+        assert meta["epoch"] == 8
+        assert not os.path.exists(p + ".old") and not os.path.exists(p + ".tmp")
+
 
 class TestResumeEmaToggle:
     """`ema_decay` toggled between a crash-save and the resume must not break

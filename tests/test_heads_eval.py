@@ -268,3 +268,18 @@ class TestShardedEval:
             ep_per_batch=8, seed=7, mesh=mesh,
         )
         np.testing.assert_allclose(accs_single, accs_mesh, atol=1e-6)
+
+
+class TestEvalRunCacheBound:
+    def test_lru_is_bounded_and_reuses_hits(self):
+        """The jitted-program cache must stay bounded (entries pin models and
+        compiled executables) while still returning the same callable for a
+        repeated (model, config) so per-epoch eval never recompiles."""
+        from fewshot_vit_tpu.eval import episodic as ep
+
+        head = MetaBaseline(encoder=TinyEncoder(), temp_learnable=False)
+        first = ep._eval_run_fn(head, 5, 1, 15, 4, (0.5,), (0.5,))
+        assert ep._eval_run_fn(head, 5, 1, 15, 4, (0.5,), (0.5,)) is first
+        for q in range(2, 2 + ep._EVAL_RUN_CACHE_MAX + 3):
+            ep._eval_run_fn(head, 5, 1, q, 4, (0.5,), (0.5,))
+        assert len(ep._EVAL_RUN_CACHE) <= ep._EVAL_RUN_CACHE_MAX
