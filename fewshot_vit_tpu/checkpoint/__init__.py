@@ -1,6 +1,7 @@
 from .io import (
     save_variables,
     load_variables,
+    has_checkpoint,
     load_model,
     CheckpointPolicy,
     load_torch_state_dict,
@@ -12,6 +13,7 @@ from .torch_convert import convert_by_rule, convert_visformer, visformer_key, st
 __all__ = [
     "save_variables",
     "load_variables",
+    "has_checkpoint",
     "load_model",
     "CheckpointPolicy",
     "load_torch_state_dict",

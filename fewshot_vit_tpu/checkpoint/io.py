@@ -60,6 +60,16 @@ def save_variables(path: str, variables: Any, meta: Optional[Dict] = None) -> No
         shutil.rmtree(old)
 
 
+def has_checkpoint(path: str) -> bool:
+    """True iff ``load_variables(path)`` would succeed — including the
+    crash-window case where only ``path + '.old'`` survived an interrupted
+    swap. Resume guards must use THIS, not a bare isdir on ``path/arrays``,
+    or the recovery path load_variables implements is silently skipped."""
+    path = os.path.abspath(path)
+    return (os.path.isdir(os.path.join(path, "arrays"))
+            or os.path.isdir(os.path.join(path + ".old", "arrays")))
+
+
 def load_variables(path: str, target: Optional[Any] = None) -> Tuple[Any, Dict]:
     """Load (variables, meta). ``target`` (a matching pytree of arrays/shapes)
     restores with correct structure/dtypes; without it, restores raw."""

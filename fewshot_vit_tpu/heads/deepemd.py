@@ -165,9 +165,17 @@ def sfc_refine(
 ) -> jax.Array:
     """SFC prototype refinement (reference ``get_sfc``, ``:83-107``).
 
-    proto (way, N, C) = shot-mean init; support (way*shot, N, C) in class-major
-    order. 100 steps of SGD(momentum, dampening) on CE(emd_logits(proto,
-    batch), labels) over shuffled support mini-batches, inside ``lax.scan``.
+    proto (way, N, C) = shot-mean init; support (way*shot, N, C) in the
+    INTERLEAVED item-major order (index t*way + w -> class w, the sampler's
+    emission order — labels are ``tile(arange(way), shot)``, the reference's
+    ``label_shot``). 100 steps of SGD(momentum, dampening) on
+    CE(emd_logits(proto, batch), labels) over shuffled support mini-batches,
+    inside ``lax.scan``.
+
+    The momentum update follows ``torch.optim.SGD`` exactly: the FIRST step's
+    buffer is the raw gradient (dampening is not applied on initialization,
+    ``torch/optim/sgd.py``), every later step does
+    ``buf = momentum*buf + (1-dampening)*grad``.
 
     Runs fp32 regardless of the encoder dtype: the inner SGD accumulates
     small updates that bf16 prototypes would quantize away.
@@ -186,25 +194,27 @@ def sfc_refine(
     n_batches = -(-n_support // batch_size)
 
     def step(carry, k):
-        p, buf = carry
+        p, buf, t = carry
         perm = jax.random.permutation(k, n_support)
 
         def inner(carry2, b):
-            p, buf = carry2
+            p, buf, t = carry2
             idx = jax.lax.dynamic_slice_in_dim(
                 jnp.concatenate([perm, perm[: batch_size]]), b * batch_size, batch_size
             )
             mask = (jnp.arange(batch_size) + b * batch_size) < n_support
             g = grad_fn(p, support[idx], labels[idx], mask.astype(p.dtype))
-            buf = momentum * buf + (1.0 - dampening) * g
+            buf = jnp.where(t == 0, g, momentum * buf + (1.0 - dampening) * g)
             p = p - lr * buf
-            return (p, buf), None
+            return (p, buf, t + 1), None
 
-        (p, buf), _ = jax.lax.scan(inner, (p, buf), jnp.arange(n_batches))
-        return (p, buf), None
+        (p, buf, t), _ = jax.lax.scan(inner, (p, buf, t), jnp.arange(n_batches))
+        return (p, buf, t), None
 
     buf0 = jnp.zeros_like(proto)
-    (proto, _), _ = jax.lax.scan(step, (proto, buf0), jax.random.split(key, steps))
+    t0 = jnp.int32(0)
+    (proto, _, _), _ = jax.lax.scan(
+        step, (proto, buf0, t0), jax.random.split(key, steps))
     return jax.lax.stop_gradient(proto)
 
 

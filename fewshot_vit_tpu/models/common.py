@@ -8,11 +8,40 @@ layout; the reference is NCHW) and encoders are flax modules applied functionall
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# --- frozen-BN context ---------------------------------------------------------
+# The reference's `utils.freeze_bn` puts ONLY BatchNorm modules in eval mode
+# while the model stays in train mode (meta_tuning_sun_m/utils/__init__.py):
+# dropout/droppath stay stochastic, BN normalizes with running stats and never
+# updates them. flax decides `use_running_average` at module construction, so
+# the zoo's BN sites consult this trace-time contextvar instead of `not train`
+# alone. Static under jit: the flag is read while the wrapped `apply` traces.
+_BN_FROZEN: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "fewshot_vit_bn_frozen", default=False)
+
+
+@contextlib.contextmanager
+def frozen_bn():
+    """Within this context every zoo BatchNorm runs in eval mode regardless
+    of the `train` flag (wrap the `.apply(...)` call, i.e. trace time)."""
+    token = _BN_FROZEN.set(True)
+    try:
+        yield
+    finally:
+        _BN_FROZEN.reset(token)
+
+
+def bn_use_running_average(train: bool) -> bool:
+    """`use_running_average` for a zoo BatchNorm: eval mode when not training
+    OR when inside `frozen_bn()` (the reference's freeze_bn semantics)."""
+    return (not train) or _BN_FROZEN.get()
 
 # torch nn.GELU default is the exact erf formulation; jax.nn.gelu defaults to
 # the tanh approximation, so pin approximate=False everywhere for parity.
@@ -60,7 +89,7 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         return nn.BatchNorm(
-            use_running_average=not train,
+            use_running_average=bn_use_running_average(train),
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,

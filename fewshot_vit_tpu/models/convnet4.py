@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import models
+from .common import bn_use_running_average
 
 
 class ConvNet4(nn.Module):
@@ -33,7 +34,7 @@ class ConvNet4(nn.Module):
         for i, d in enumerate(dims):
             x = nn.Conv(d, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"bn{i}",
             )(x)
             x = nn.relu(x)

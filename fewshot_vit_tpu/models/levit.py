@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import models
-from .common import DropPath
+from .common import bn_use_running_average, DropPath
 from .visformer import ConvStem
 
 
@@ -47,7 +47,7 @@ class LinearNorm(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         x = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="c")(x)
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
             scale_init=nn.initializers.constant(self.bn_weight_init),
             dtype=self.dtype, name="bn",
         )(x)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import models
-from .common import DropPath, gelu, leaky_relu, trunc_normal_init
+from .common import bn_use_running_average, DropPath, gelu, leaky_relu, trunc_normal_init
 from .deit import ViTAttention
 
 
@@ -36,7 +36,7 @@ class LVViTStem(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         conv = lambda f, k, s, name: nn.Conv(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import models
-from .common import global_avg_pool, kaiming_out_init
+from .common import bn_use_running_average, global_avg_pool, kaiming_out_init
 
 
 def _conv(f: int, k: int, stride: int, name: str, dtype) -> nn.Conv:
@@ -28,7 +28,7 @@ def _conv(f: int, k: int, stride: int, name: str, dtype) -> nn.Conv:
 
 def _bn(train: bool, name: str, dtype) -> nn.BatchNorm:
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
         dtype=dtype, name=name,
     )
 

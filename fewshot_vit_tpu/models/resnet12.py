@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.registry import models
-from .common import global_avg_pool, kaiming_out_init, leaky_relu
+from .common import bn_use_running_average, global_avg_pool, kaiming_out_init, leaky_relu
 
 
 class Res12Block(nn.Module):
@@ -30,7 +30,7 @@ class Res12Block(nn.Module):
             kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         out = leaky_relu(bn("bn1")(conv(self.planes, 3, "conv1")(x)))
@@ -113,7 +113,7 @@ class Res12DropBlock(nn.Module):
             kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         out = leaky_relu(bn("bn1")(conv(self.planes, 3, "conv1")(x)))

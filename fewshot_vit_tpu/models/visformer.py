@@ -37,6 +37,7 @@ from ..core.registry import models
 from .common import (
     BatchNorm,
     DropPath,
+    bn_use_running_average,
     gelu,
     global_avg_pool,
     kaiming_out_init,
@@ -63,7 +64,7 @@ class ConvStem(nn.Module):
             kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         out = conv(self.hidden, 2, "conv1")(x)

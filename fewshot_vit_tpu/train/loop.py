@@ -108,14 +108,13 @@ def make_meta_tune_epoch(
         freeze_bn=freeze_bn, preprocess_fn=preprocess_fn, jit=False, **kw
     )
 
+    from ..ops.episodes import split_shot_query
+
     def epoch(state, images, idx, rng):
         def body(state, scan_in):
             idx_b, i = scan_in
             imgs = images[idx_b]  # (E*way*(s+q), H, W, 3)
-            img_shape = imgs.shape[1:]
-            data = imgs.reshape(ep_per_batch, way, shot + query, *img_shape)
-            xs = data[:, :, :shot]
-            xq = data[:, :, shot:].reshape(ep_per_batch, way * query, *img_shape)
+            xs, xq = split_shot_query(imgs, way, shot, query, ep_per_batch)
             s, m = step(state, xs, xq, jax.random.fold_in(rng, i))
             return s, m
 
@@ -125,33 +124,58 @@ def make_meta_tune_epoch(
     return jax.jit(epoch, donate_argnums=(0,))
 
 
-def make_eval_ce_epoch(model, mean, std) -> Callable:
-    """jit CE/acc eval over a fixed batch grid (no state mutation)."""
+def make_eval_ce_epoch(model, mean, std, n_valid=None) -> Callable:
+    """jit CE/acc eval over a fixed batch grid (no state mutation).
+
+    ``n_valid`` marks how many leading flattened slots of the ``idx`` grid are
+    real samples: ``batch_indices(drop_last=False)`` cycles the permutation to
+    fill the last batch, and those duplicates must not be scored twice (each
+    val image counts exactly once, like the reference's DataLoader with a
+    smaller final batch). Returns per-step SUMS — reduce with
+    ``eval_metrics``."""
 
     def epoch(variables, images, labels, idx):
-        def body(carry, idx_b):
+        import optax
+
+        s, b = idx.shape
+        total = n_valid if n_valid is not None else s * b
+        mask = (jnp.arange(s * b).reshape(s, b) < total).astype(jnp.float32)
+
+        def body(carry, scan_in):
+            idx_b, m_b = scan_in
             x = normalize(images[idx_b], mean, std)
             logits = model.apply(variables, x, train=False)
-            import optax
-
-            loss = optax.softmax_cross_entropy_with_integer_labels(
+            ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), labels[idx_b]
-            ).mean()
-            return carry, {"loss": loss, "acc": compute_acc(logits, labels[idx_b])}
+            )
+            correct = (jnp.argmax(logits, -1) == labels[idx_b]).astype(jnp.float32)
+            return carry, {"loss_sum": (ce * m_b).sum(),
+                           "correct": (correct * m_b).sum(),
+                           "n": m_b.sum()}
 
-        _, ms = jax.lax.scan(body, None, idx)
+        _, ms = jax.lax.scan(body, None, (idx, mask))
         return ms
 
     return jax.jit(epoch)
 
 
+def eval_metrics(ms: Dict[str, jax.Array]) -> Dict[str, float]:
+    """Exact loss/acc means from make_eval_ce_epoch's per-step sums."""
+    n = float(np.sum(np.asarray(ms["n"])))
+    return {"loss": float(np.sum(np.asarray(ms["loss_sum"]))) / n,
+            "acc": float(np.sum(np.asarray(ms["correct"]))) / n}
+
+
 def batch_indices(n: int, batch_size: int, rng: np.random.Generator, drop_last: bool = True) -> np.ndarray:
-    """Shuffled (steps, batch_size) index matrix for one epoch."""
+    """Shuffled (steps, batch_size) index matrix for one epoch.
+
+    ``drop_last=False`` cycles the permutation to fill the final batch (valid
+    for any batch_size, including batch_size > n); consumers that must score
+    each sample exactly once mask the tail via ``make_eval_ce_epoch(n_valid=n)``."""
     perm = rng.permutation(n)
     n_steps = n // batch_size if drop_last else -(-n // batch_size)
     if not drop_last:
-        pad = n_steps * batch_size - n
-        perm = np.concatenate([perm, perm[:pad]])
+        perm = np.resize(perm, n_steps * batch_size)
     return perm[: n_steps * batch_size].reshape(n_steps, batch_size).astype(np.int32)
 
 

@@ -20,7 +20,7 @@ from ..core import rng as rng_mod
 from .. import models as _models  # noqa: F401
 from .. import heads as _heads  # noqa: F401
 from ..data import datasets as _datasets  # noqa: F401
-from ..checkpoint import CheckpointPolicy
+from ..checkpoint import CheckpointPolicy, has_checkpoint
 from ..data.sampler import EpisodeSampler
 from ..eval.episodic import evaluate, sub_variables
 from .loop import make_meta_tune_epoch, metrics_mean
@@ -185,7 +185,7 @@ def main(cfg, args) -> TrainState:
 
     resume_dir = os.path.join(logger.save_dir, "resume")
     start_epoch = 1
-    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+    if cfg.get("resume") and has_checkpoint(resume_dir):
         state, meta = load_variables(resume_dir, target=state)
         start_epoch = int(meta.get("epoch", 0)) + 1
         logger.log(f"resumed full train state from epoch {start_epoch - 1}")

@@ -29,7 +29,7 @@ from ..core import rng as rng_mod
 from .. import models as _models  # noqa: F401
 from .. import heads as _heads  # noqa: F401
 from ..data import datasets as _datasets  # noqa: F401
-from ..checkpoint import CheckpointPolicy
+from ..checkpoint import CheckpointPolicy, has_checkpoint
 from ..data.patches import grid_patches, sampling_patches
 from ..data.sampler import EpisodeSampler
 from ..heads.deepemd import sfc_refine
@@ -85,21 +85,29 @@ def make_emd_episode_fn(
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
 
-    def encode(variables, x):
-        return head.apply(variables, x, False, method=head.encode_nodes)
+    from ..models.common import frozen_bn
+
+    def encode(variables, x, key):
+        # BN runs on frozen running stats during EMD tuning even in train
+        # mode: per-episode batch stats under vmap would diverge per episode
+        # (the reference's DataParallel BN had per-replica drift instead —
+        # see SURVEY.md §7 "BatchNorm under data parallelism"). With
+        # train=True, dropout/droppath stay stochastic like the reference's
+        # model.train() (meta_tuning_sun_d/train_meta.py:145).
+        rngs = ({"droppath": key, "dropout": jax.random.fold_in(key, 1)}
+                if train else None)
+        with frozen_bn():
+            return head.apply(variables, x, train, rngs=rngs,
+                              method=head.encode_nodes)
 
     if remat:
         encode = jax.checkpoint(encode)
 
     def fn(variables, images_u8, rng):
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         x = patch_fn(images_u8, k1)  # float [0, 255]
         x = (x / 255.0 - mean_a) / std_a
-        # BN runs on frozen running stats during EMD tuning: per-episode batch
-        # stats under vmap would diverge per episode (the reference's
-        # DataParallel BN had per-replica drift instead — see SURVEY.md §7
-        # "BatchNorm under data parallelism").
-        nodes = encode(variables, x)
+        nodes = encode(variables, x, k3)
         k = way * shot
         shot_nodes = nodes[:k].reshape(shot, way, *nodes.shape[1:])
         proto = shot_nodes.mean(axis=0)  # (way, N, C)
@@ -309,7 +317,9 @@ def main(cfg, args) -> TrainState:
     patch_eval = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                                int(cfg.get("num_patch", 9)),
                                float(cfg.get("patch_ratio", 2.0)), img, False)
-    val_images = jax.device_put(val_ds.images, data_shard)
+    # don't double the image HBM footprint when validating on the train split
+    val_images = (images_dev if val_ds is train_ds
+                  else jax.device_put(val_ds.images, data_shard))
 
     from ..eval.emd_eval import (
         group_episode_indices,
@@ -364,7 +374,7 @@ def main(cfg, args) -> TrainState:
 
     resume_dir = os.path.join(logger.save_dir, "resume")
     start_epoch = 1
-    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+    if cfg.get("resume") and has_checkpoint(resume_dir):
         state, meta = load_variables(resume_dir, target=state)
         start_epoch = int(meta.get("epoch", 0)) + 1
         logger.log(f"resumed full train state from epoch {start_epoch - 1}")
@@ -402,7 +412,7 @@ def main(cfg, args) -> TrainState:
     # best-val checkpoint, run the full test protocol, append results.txt
     test_episodes = int(cfg.get("test_episode", 2000 if shot == 1 else 600))
     best_dir = os.path.join(logger.save_dir, "max-va")
-    if test_episodes and os.path.isdir(os.path.join(best_dir, "arrays")):
+    if test_episodes and has_checkpoint(best_dir):
         best_vars, best_meta = load_variables(best_dir, target=state.variables)
         test_ds = build_dataset(cfg, "test_dataset") or val_ds
         test_sampler = EpisodeSampler(test_ds.labels, test_episodes, way, shot + query, 1)

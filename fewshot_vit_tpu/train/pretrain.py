@@ -21,9 +21,9 @@ from ..core import rng as rng_mod
 from .. import models as _models  # noqa: F401 — register encoders
 from .. import heads as _heads  # noqa: F401 — register heads
 from ..data import datasets as _datasets  # noqa: F401 — register datasets
-from ..checkpoint import CheckpointPolicy
+from ..checkpoint import CheckpointPolicy, has_checkpoint
 from ..eval.episodic import sub_variables
-from .loop import batch_indices, make_eval_ce_epoch, make_pretrain_epoch, metrics_mean
+from .loop import batch_indices, eval_metrics, make_eval_ce_epoch, make_pretrain_epoch, metrics_mean
 from .runner import (
     build_dataset,
     build_optimizer,
@@ -78,9 +78,6 @@ def main(cfg, args) -> TrainState:
     hbm_budget = float(cfg.get("hbm_budget_gb", DEFAULT_HBM_BUDGET_GB))
     stage = needs_staging(train_ds.images, hbm_budget)
     images_dev = labels_dev = None
-    if not stage:
-        images_dev = jax.device_put(train_ds.images)
-        labels_dev = jax.device_put(train_ds.labels.astype(np.int32))
 
     mesh_cfg = cfg.get("mesh")
     batch_shard = None
@@ -100,10 +97,11 @@ def main(cfg, args) -> TrainState:
             tx, ema=bool(ema_decay),
         )
         image_shard = replicated(mesh)
-        if not stage:
-            images_dev = jax.device_put(train_ds.images, image_shard)
-            labels_dev = jax.device_put(train_ds.labels.astype(np.int32), image_shard)
         batch_shard = NamedSharding(mesh, P(None, "data"))  # idx (steps, batch)
+    if not stage:
+        # one upload, with the final placement (replicated iff mesh)
+        images_dev = jax.device_put(train_ds.images, image_shard)
+        labels_dev = jax.device_put(train_ds.labels.astype(np.int32), image_shard)
     preprocess_fn = None
     if cfg.get("augment") == "cropaug":
         # timm create_transform pipeline, on device (reference 'cropaug' path)
@@ -153,7 +151,8 @@ def main(cfg, args) -> TrainState:
             chunks.append({k: np.asarray(v) for k, v in ms.items()})
         return state, {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
 
-    eval_fn = make_eval_ce_epoch(model, train_ds.mean, train_ds.std) if val_ds else None
+    eval_fn = (make_eval_ce_epoch(model, train_ds.mean, train_ds.std,
+                              n_valid=len(val_ds)) if val_ds else None)
     val_images = jax.device_put(val_ds.images) if val_ds else None
     val_labels = jax.device_put(val_ds.labels.astype(np.int32)) if val_ds else None
 
@@ -171,7 +170,7 @@ def main(cfg, args) -> TrainState:
 
     resume_dir = os.path.join(logger.save_dir, "resume")
     start_epoch = 1
-    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+    if cfg.get("resume") and has_checkpoint(resume_dir):
         from .state import resume_train_state
 
         state, meta, note = resume_train_state(resume_dir, state)
@@ -196,7 +195,7 @@ def main(cfg, args) -> TrainState:
         if eval_fn is not None:
             vidx = batch_indices(len(val_ds), min(batch_size, len(val_ds)),
                                  rng_mod.np_rng(0, 0), drop_last=False)
-            vm = metrics_mean(eval_fn(state.variables, val_images, val_labels, jnp.asarray(vidx)))
+            vm = eval_metrics(eval_fn(state.variables, val_images, val_labels, jnp.asarray(vidx)))
             va = vm["acc"]
             line += f" | val loss={vm['loss']:.4f} acc={va:.4f}"
 
@@ -224,7 +223,7 @@ def main(cfg, args) -> TrainState:
             if eval_fn is not None:
                 vidx = batch_indices(len(val_ds), min(batch_size, len(val_ds)),
                                      rng_mod.np_rng(0, 0), drop_last=False)
-                ema_va = metrics_mean(
+                ema_va = eval_metrics(
                     eval_fn(ema_variables, val_images, val_labels, jnp.asarray(vidx))
                 )["acc"]
                 line += f" | ema val acc={ema_va:.4f}"

@@ -198,8 +198,14 @@ def make_meta_tune_step(
             variables = {"params": params, "batch_stats": state.batch_stats}
             rngs = {"droppath": rng, "dropout": jax.random.fold_in(rng, 1)}
             if freeze_bn:
-                # BN in eval mode, running stats untouched
-                logits = head.apply(variables, xs, xq, train=False, rngs=rngs)
+                # the reference's utils.freeze_bn: ONLY BatchNorm goes to
+                # eval (running stats used, never updated) — the model stays
+                # in train mode, so dropout/droppath remain stochastic
+                # (meta_tuning_sun_m/train_meta.py:155-157)
+                from ..models.common import frozen_bn
+
+                with frozen_bn():
+                    logits = head.apply(variables, xs, xq, train=True, rngs=rngs)
                 new_stats = state.batch_stats
             else:
                 logits, mut = head.apply(

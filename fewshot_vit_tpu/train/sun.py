@@ -22,7 +22,7 @@ from ..core import rng as rng_mod
 from .. import models as _models  # noqa: F401
 from .. import heads as _heads  # noqa: F401
 from ..data import datasets as _datasets  # noqa: F401
-from ..checkpoint import CheckpointPolicy, load_variables
+from ..checkpoint import CheckpointPolicy, has_checkpoint, load_variables
 from ..eval.episodic import sub_variables
 from .loop import batch_indices, make_sun_epoch, metrics_mean
 from .runner import build_dataset, build_optimizer, fs_eval, model_dtype, parse_args, save_dir_for
@@ -154,7 +154,7 @@ def main(cfg, args) -> TrainState:
 
     resume_dir = os.path.join(logger.save_dir, "resume")
     start_epoch = 1
-    if cfg.get("resume") and os.path.isdir(os.path.join(resume_dir, "arrays")):
+    if cfg.get("resume") and has_checkpoint(resume_dir):
         state, meta = load_variables(resume_dir, target=state)
         start_epoch = int(meta.get("epoch", 0)) + 1
         logger.log(f"resumed full train state from epoch {start_epoch - 1}")

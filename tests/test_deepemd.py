@@ -237,6 +237,35 @@ class TestHeadAndSFC:
         assert refined.shape == proto0.shape
         assert support_acc(refined) >= support_acc(proto0)
 
+    def test_sfc_momentum_matches_torch_sgd_rule(self):
+        """torch.optim.SGD(momentum=.9, dampening=.9) semantics, exactly:
+        the FIRST step's buffer is the raw gradient (buf = clone(grad) on
+        init, no dampening), later steps do buf = m*buf + (1-d)*g and
+        p -= lr*buf (torch/optim/sgd.py). Full-batch steps so the shuffle is
+        irrelevant; grads recomputed independently with jax.grad."""
+        rng = np.random.default_rng(10)
+        way, shot, lr = 3, 2, 0.2
+        support = jnp.asarray(rng.normal(size=(way * shot, 5, 8)), jnp.float32)
+        proto0 = jnp.asarray(rng.normal(size=(way, 5, 8)), jnp.float32)
+        labels = np.tile(np.arange(way), shot)
+
+        def loss(p):
+            logits = emd_logits(p, support)
+            return -jax.nn.log_softmax(logits, -1)[
+                np.arange(way * shot), labels].mean()
+
+        g = jax.grad(loss)
+        # manual torch recurrence, 3 full-batch steps
+        p, buf = proto0, None
+        for _ in range(3):
+            gi = g(p)
+            buf = gi if buf is None else 0.9 * buf + 0.1 * gi
+            p = p - lr * buf
+        got = sfc_refine(proto0, support, way, shot, jax.random.key(3),
+                         steps=3, lr=lr, batch_size=way * shot)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(p),
+                                   rtol=2e-5, atol=2e-6)
+
     def test_pyramid_divisible_grid_is_reshape_mean(self):
         """Adaptive avg-pool on a divisible grid == plain reshape-mean (the
         integer-grid special case called out in VERDICT r2 #2)."""

@@ -291,6 +291,45 @@ class TestMetaTuneStep:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_freeze_bn_keeps_dropout_stochastic(self):
+        """The reference's utils.freeze_bn puts ONLY BN in eval under
+        model.train() (meta_tuning_sun_m/train_meta.py:155-157): with
+        freeze_bn the step must keep dropout/droppath stochastic while BN
+        stats stay frozen — a plain train=False forward would silence both."""
+        import flax.linen as nn
+
+        from fewshot_vit_tpu.models.common import BatchNorm
+
+        class _BnDropEnc(nn.Module):
+            out_dim: int = 8
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = nn.Conv(8, (3, 3), strides=(2, 2))(x)
+                x = BatchNorm()(x, train)
+                x = nn.Dropout(0.5, deterministic=not train)(x)
+                return x, x.mean(axis=(1, 2))
+
+        head = MetaBaseline(encoder=_BnDropEnc())
+        e, way, shot, query = 1, 3, 1, 4
+        rng = np.random.default_rng(5)
+        xs = jnp.asarray(rng.integers(0, 256, (e, way, shot, 16, 16, 3)), jnp.uint8)
+        xq = jnp.asarray(rng.integers(0, 256, (e, way * query, 16, 16, 3)), jnp.uint8)
+        variables = head.init(jax.random.key(0), xs, xq)
+        tx = make_optimizer(variables["params"], "sgd", lr=0.0)  # isolate fwd
+        step = make_meta_tune_step(head, tx, way=way, query=query,
+                                   ep_per_batch=e, freeze_bn=True)
+        fresh = lambda: TrainState.create(
+            jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables), tx)
+        s1, m1 = step(fresh(), xs, xq, jax.random.key(1))
+        s2, m2 = step(fresh(), xs, xq, jax.random.key(2))
+        # dropout active: different rng streams -> different losses
+        assert float(m1["loss"]) != float(m2["loss"])
+        # BN frozen: running stats untouched by either step
+        for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
+                        jax.tree_util.tree_leaves(s1.batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestShardedStep:
     def test_dp_tp_pretrain_step(self, devices8):
@@ -434,3 +473,46 @@ class TestRemat:
         tx = make_optimizer(variables["params"], "sgd", lr=0.1)
         with pytest.raises(ValueError):
             make_pretrain_epoch(model, tx, sam_rho=0.05, remat=True)
+
+
+class TestEvalExactness:
+    def test_batch_indices_cycles_small_n(self):
+        from fewshot_vit_tpu.train.loop import batch_indices
+
+        idx = batch_indices(10, 32, np.random.default_rng(0), drop_last=False)
+        assert idx.shape == (1, 32)
+        assert idx.max() < 10 and idx.min() >= 0
+        assert sorted(idx.reshape(-1)[:10].tolist()) == list(range(10))
+
+    def test_val_metrics_ignore_padding_duplicates(self):
+        """drop_last=False pads the val grid by cycling the permutation; the
+        CE eval must weight each real image exactly once (the reference's
+        DataLoader scores a smaller final batch), so the padded duplicates
+        cannot skew max-va selection."""
+        from fewshot_vit_tpu.train.loop import (
+            batch_indices, eval_metrics, make_eval_ce_epoch,
+        )
+
+        model = Classifier(encoder=TinyEncoder(), classifier=LinearClassifier(6, name="classifier"))
+        rng = np.random.default_rng(11)
+        n = 10
+        images = jnp.asarray(rng.integers(0, 256, (n, 16, 16, 3)), jnp.uint8)
+        labels = jnp.asarray(rng.integers(0, 6, (n,)), jnp.int32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+
+        # exact per-image reference on the unique images
+        import optax
+        from fewshot_vit_tpu.data.transforms import normalize
+
+        logits = model.apply(variables, normalize(images, (0.5,) * 3, (0.5,) * 3),
+                             train=False)
+        want_loss = float(optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels).mean())
+        want_acc = float((jnp.argmax(logits, -1) == labels).mean())
+
+        eval_fn = make_eval_ce_epoch(model, (0.5,) * 3, (0.5,) * 3, n_valid=n)
+        idx = batch_indices(n, 4, np.random.default_rng(0), drop_last=False)
+        assert idx.size > n  # padding present: 12 slots for 10 images
+        got = eval_metrics(eval_fn(variables, images, labels, jnp.asarray(idx)))
+        assert got["loss"] == pytest.approx(want_loss, rel=1e-5)
+        assert got["acc"] == pytest.approx(want_acc, abs=1e-6)
