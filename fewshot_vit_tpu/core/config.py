@@ -65,8 +65,14 @@ class Config(Mapping):
         for key, value in overrides.items():
             node = data
             parts = key.split(".")
-            for p in parts[:-1]:
+            for i, p in enumerate(parts[:-1]):
                 node = node.setdefault(p, {})
+                if not isinstance(node, dict):
+                    raise ValueError(
+                        f"override {key!r} descends through "
+                        f"{'.'.join(parts[: i + 1])!r}, which is the scalar "
+                        f"{node!r}, not a mapping"
+                    )
             node[parts[-1]] = value
         return Config(data)
 

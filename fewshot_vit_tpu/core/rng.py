@@ -42,5 +42,12 @@ def step_keys(key: jax.Array, n: int) -> jax.Array:
 
 
 def np_rng(seed: int = DEFAULT_SEED, epoch: int = 0) -> np.random.Generator:
-    """Host-side generator for episode sampling / data order."""
-    return np.random.Generator(np.random.Philox(key=seed, counter=epoch))
+    """Host-side generator for episode sampling / data order.
+
+    The epoch goes into Philox's HIGH key word, not the counter: counter=e
+    and counter=e+1 are the SAME stream offset by one 4-value block (near-
+    total overlap between epochs), whereas distinct keys are Philox's
+    designed independent-stream mechanism. key=[seed, 0] equals
+    Philox(key=seed), so epoch-0 streams are unchanged."""
+    return np.random.Generator(
+        np.random.Philox(key=np.array([seed, epoch], dtype=np.uint64)))

@@ -29,9 +29,18 @@ def watchdog_reexec(timeout_s: float = 1500.0) -> None:
         return
     env = dict(os.environ)
     env[_ENV_KEY] = "1"
+    # `python -m pkg.mod` sets argv[0] to the module FILE; re-execing that
+    # path directly would drop the package context and break relative
+    # imports — reconstruct the -m form from __main__'s spec instead.
+    import __main__
+
+    spec = getattr(__main__, "__spec__", None)
+    if spec is not None and spec.name:
+        cmd = [sys.executable, "-m", spec.name] + sys.argv[1:]
+    else:
+        cmd = [sys.executable] + sys.argv
     try:
-        proc = subprocess.run([sys.executable] + sys.argv, env=env,
-                              timeout=timeout_s)
+        proc = subprocess.run(cmd, env=env, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         print(f"watchdog: no result after {timeout_s:.0f}s "
               "(device relay unreachable?)", file=sys.stderr, flush=True)

@@ -50,7 +50,8 @@ def gelu(x: jax.Array) -> jax.Array:
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
-    return jnp.where(x >= 0, x, negative_slope * x)
+    # torch nn.LeakyReLU(0.1), the resnet12 reference default (jax's is 0.01)
+    return jax.nn.leaky_relu(x, negative_slope)
 
 
 def trunc_normal_init(std: float = 0.02):

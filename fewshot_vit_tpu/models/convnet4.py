@@ -26,7 +26,9 @@ class ConvNet4(nn.Module):
 
     @property
     def out_dim(self) -> int:
-        return 1600  # 64 channels x 5x5 map at 80x80 input
+        # z_dim channels x 5x5 map (four /2 pools of an 80x80 input — the
+        # only resolution this framework feeds ConvNet-4, as the reference)
+        return self.z_dim * 25
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:

@@ -33,7 +33,7 @@ from .visformer import ConvStem
 
 
 def hard_swish(x: jax.Array) -> jax.Array:
-    return x * jax.nn.relu6(x + 3.0) / 6.0
+    return jax.nn.hard_swish(x)
 
 
 class LinearNorm(nn.Module):
@@ -170,7 +170,9 @@ class Levit(nn.Module):
         b = x.shape[0]
         x = ConvStem(self.stem_hidden, self.embed_dim[0],
                      dtype=self.dtype, name="patch_embed")(x, train)
-        res = self.img_size // self.patch_size
+        # token grid from the ACTUAL stem output (its reduction is /4); a
+        # patch_size-derived value would silently disagree for patch_size != 4
+        res = x.shape[1]
         x = x.reshape(b, res * res, self.embed_dim[0])
 
         dp = DropPath(self.drop_path_rate, name="drop_path")

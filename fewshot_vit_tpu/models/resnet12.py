@@ -19,25 +19,32 @@ from ..core.registry import models
 from .common import bn_use_running_average, global_avg_pool, kaiming_out_init, leaky_relu
 
 
+def _res12_residual(x: jax.Array, planes: int, train: bool, dtype: Any) -> jax.Array:
+    """Triple 3x3 conv-BN + 1x1 BN shortcut (shared by both block variants;
+    called inside a compact scope, so the submodule names land in the
+    caller's param tree unchanged)."""
+    conv = lambda f, k, name: nn.Conv(
+        f, (k, k), padding=k // 2, use_bias=False,
+        kernel_init=kaiming_out_init, dtype=dtype, name=name,
+    )
+    bn = lambda name: nn.BatchNorm(
+        use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=name,
+    )
+    out = leaky_relu(bn("bn1")(conv(planes, 3, "conv1")(x)))
+    out = leaky_relu(bn("bn2")(conv(planes, 3, "conv2")(out)))
+    out = bn("bn3")(conv(planes, 3, "conv3")(out))
+    identity = bn("downsample_bn")(conv(planes, 1, "downsample_conv")(x))
+    return leaky_relu(out + identity)
+
+
 class Res12Block(nn.Module):
     planes: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        conv = lambda f, k, name: nn.Conv(
-            f, (k, k), padding=k // 2, use_bias=False,
-            kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
-        )
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
-        )
-        out = leaky_relu(bn("bn1")(conv(self.planes, 3, "conv1")(x)))
-        out = leaky_relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
-        out = bn("bn3")(conv(self.planes, 3, "conv3")(out))
-        identity = bn("downsample_bn")(conv(self.planes, 1, "downsample_conv")(x))
-        out = leaky_relu(out + identity)
+        out = _res12_residual(x, self.planes, train, self.dtype)
         return nn.max_pool(out, (2, 2), strides=(2, 2))
 
 
@@ -108,27 +115,19 @@ class Res12DropBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        conv = lambda f, k, name: nn.Conv(
-            f, (k, k), padding=k // 2, use_bias=False,
-            kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
-        )
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
-        )
-        out = leaky_relu(bn("bn1")(conv(self.planes, 3, "conv1")(x)))
-        out = leaky_relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
-        out = bn("bn3")(conv(self.planes, 3, "conv3")(out))
-        identity = bn("downsample_bn")(conv(self.planes, 1, "downsample_conv")(x))
-        out = leaky_relu(out + identity)
+        out = _res12_residual(x, self.planes, train, self.dtype)
         if self.pool:
             out = nn.max_pool(out, (2, 2), strides=(2, 2))
         if self.drop_rate > 0:
             # seen-batch counter (reference num_batches_tracked; counted on
-            # train steps — the mutable passes that also update BN stats)
+            # train steps — the mutable passes that also update BN stats).
+            # Skip the write when batch_stats is immutable (the frozen_bn
+            # train paths apply without mutable=['batch_stats']): the
+            # reference's freeze_bn likewise stops BN bookkeeping.
             tracked = self.variable("batch_stats", "num_batches_tracked",
                                     lambda: jnp.zeros((), jnp.float32))
-            if train and not self.is_initializing():
+            if (train and not self.is_initializing()
+                    and self.is_mutable_collection("batch_stats")):
                 tracked.value = tracked.value + 1.0
             if self.drop_block:
                 fs = out.shape[1]

@@ -70,7 +70,9 @@ def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
         for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             img[:, hs, wsl, :] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img), ws)).reshape(-1, ws * ws)
+    # window_partition is pure reshape/transpose, so run it host-side on the
+    # numpy constant — no device round-trip per SwinBlock trace
+    mw = window_partition(img, ws).reshape(-1, ws * ws)
     mask = mw[:, None, :] - mw[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 

@@ -315,3 +315,31 @@ class TestWatchdog:
                              capture_output=True, text=True, timeout=60)
         assert out.returncode == 7          # child status propagates
         assert marker.read_text() == "x"    # body ran exactly once
+
+    def test_reexec_preserves_module_launch(self, tmp_path):
+        """`python -m pkg.mod` entry points must re-exec with -m (argv[0] is
+        the module FILE; running it as a script would break relative imports)."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pkg = tmp_path / "wdpkg"
+        (pkg / "sub").mkdir(parents=True)
+        (pkg / "__init__.py").write_text("")
+        (pkg / "helper.py").write_text("VALUE = 42\n")
+        (pkg / "sub" / "__init__.py").write_text("")
+        (pkg / "sub" / "tool.py").write_text(
+            "import sys\n"
+            f"sys.path.insert(0, {repr(repo)})\n"
+            "from fewshot_vit_tpu.core.watchdog import watchdog_reexec\n"
+            "from .. import helper\n"
+            "watchdog_reexec(timeout_s=30)\n"
+            "print('OK', helper.VALUE)\n"
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(tmp_path) + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run([sys.executable, "-m", "wdpkg.sub.tool"],
+                             capture_output=True, text=True, timeout=60,
+                             env=env, cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr
+        assert "OK 42" in out.stdout

@@ -116,3 +116,20 @@ class TestGridGeometryGolden:
             method="bilinear")
         np.testing.assert_allclose(np.asarray(got[0, 0]), np.asarray(want),
                                    rtol=1e-5, atol=1e-3)
+
+
+class TestConfigOverrides:
+    def test_dotted_override_through_scalar_is_pointed(self):
+        """A CLI override typo descending through a scalar must fail with a
+        clear message, not an opaque TypeError."""
+        import pytest as _pytest
+
+        from fewshot_vit_tpu.core.config import Config
+
+        cfg = Config({"lr": 0.1, "model_args": {"encoder": "resnet12"}})
+        with _pytest.raises(ValueError, match="scalar"):
+            cfg.updated({"lr.min": 1e-5})
+        # normal nested override still works
+        out = cfg.updated({"model_args.encoder": "resnet18", "opt.name": "sgd"})
+        assert out.get("model_args.encoder") == "resnet18"
+        assert out.get("opt.name") == "sgd"

@@ -516,3 +516,26 @@ class TestEvalExactness:
         got = eval_metrics(eval_fn(variables, images, labels, jnp.asarray(idx)))
         assert got["loss"] == pytest.approx(want_loss, rel=1e-5)
         assert got["acc"] == pytest.approx(want_acc, abs=1e-6)
+
+
+class TestFreezeBnDropEncoder:
+    def test_resnet12_drop_trains_under_freeze_bn(self):
+        """resnet12-drop keeps a num_batches_tracked counter in batch_stats;
+        under freeze_bn (train=True forward WITHOUT mutable batch_stats) the
+        write must be skipped, not crash with ModifyScopeVariableError."""
+        enc = models.make("resnet12-drop", channels=(8, 8, 8, 8))
+        head = MetaBaseline(encoder=enc)
+        e, way, shot, query = 1, 2, 1, 2
+        rng = np.random.default_rng(6)
+        xs = jnp.asarray(rng.integers(0, 256, (e, way, shot, 32, 32, 3)), jnp.uint8)
+        xq = jnp.asarray(rng.integers(0, 256, (e, way * query, 32, 32, 3)), jnp.uint8)
+        variables = head.init(jax.random.key(0), xs, xq)
+        tx = make_optimizer(variables["params"], "sgd", lr=1e-2)
+        step = make_meta_tune_step(head, tx, way=way, query=query,
+                                   ep_per_batch=e, freeze_bn=True)
+        copy = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+        state, m = step(TrainState.create(copy, tx), xs, xq, jax.random.key(1))
+        assert np.isfinite(float(m["loss"]))
+        for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
+                        jax.tree_util.tree_leaves(state.batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
