@@ -95,6 +95,7 @@ class TestPixelOpsGolden:
         u8 = rand_img(7)
         for name, jfn, pfn in [
             ("bright", A.brightness, ImageEnhance.Brightness),
+            ("contrast", A.contrast, ImageEnhance.Contrast),
             ("sat", A.saturation, ImageEnhance.Color),
         ]:
             got = np.asarray(jfn(as_f32(u8), jnp.array([0.6, 1.4])))

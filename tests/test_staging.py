@@ -100,13 +100,21 @@ class TestImageFolderLoader:
         assert os.path.exists(tmp_path / "_cache_train_32.npy")
         assert isinstance(ds2.images, np.memmap)
         np.testing.assert_array_equal(np.asarray(ds2.images), ds1.images)
-        # third load hits the cache (delete sources to prove it)
+        # third load hits the cache: rewrite every source image with new
+        # pixels (same count) — a cache hit must return the OLD pixels
+        from PIL import Image
+
+        for cdir in (tmp_path / "images").iterdir():
+            for f in cdir.iterdir():
+                Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(f)
+        ds3 = image_folder(root_path=str(tmp_path), image_size=32, cache_memmap=True)
+        np.testing.assert_array_equal(np.asarray(ds3.images), ds1.images)
+        assert np.asarray(ds3.images).max() > 0  # not the rewritten zeros
+        # stale cache (image count changed) trips the guard
         import shutil
 
         shutil.rmtree(tmp_path / "images" / "n00000000")
         os.makedirs(tmp_path / "images" / "n00000000")
-        for j in range(4):  # restore empty files list -> stale check trips
-            pass
         with pytest.raises(ValueError):
             image_folder(root_path=str(tmp_path), image_size=32, cache_memmap=True)
 
