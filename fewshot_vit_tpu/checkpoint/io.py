@@ -105,15 +105,20 @@ class CheckpointPolicy:
         # seed from an existing max-va so a resumed run can't overwrite the
         # best checkpoint with a worse post-resume epoch
         self.best_va = -float("inf")
-        meta_path = os.path.join(save_dir, "max-va", "meta.json")
-        if os.path.exists(meta_path):
-            try:
-                with open(meta_path) as f:
-                    prev = json.load(f).get("val_acc")
-                if prev is not None:
-                    self.best_va = float(prev)
-            except (ValueError, OSError):
-                pass
+        # also consult the '.old' crash-window copy: if a max-va save was
+        # interrupted between its swap renames, only '.old' holds the best
+        # val_acc — seeding -inf would let a worse post-resume epoch
+        # overwrite the recovered best checkpoint
+        for name in ("max-va", "max-va.old"):
+            meta_path = os.path.join(save_dir, name, "meta.json")
+            if os.path.exists(meta_path):
+                try:
+                    with open(meta_path) as f:
+                        prev = json.load(f).get("val_acc")
+                    if prev is not None:
+                        self.best_va = max(self.best_va, float(prev))
+                except (ValueError, OSError):
+                    pass
 
     def on_epoch(self, epoch: int, variables: Any, meta: Dict, va: Optional[float] = None) -> None:
         meta = dict(meta, epoch=epoch, val_acc=va)

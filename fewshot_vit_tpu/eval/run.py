@@ -64,7 +64,7 @@ def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED, dtype=jnp.float32
 
 
 def sauc_eval(head, variables, dataset, n_episodes, shot, query=15,
-              ep_per_batch=8, seed=rng_mod.DEFAULT_SEED):
+              ep_per_batch=8, seed=rng_mod.DEFAULT_SEED, images_dev=None):
     """2-way ROC-AUC mode: scores = cosine(query, class-0 prototype).
 
     One scan program over episode batches (single host fetch), matching the
@@ -77,7 +77,8 @@ def sauc_eval(head, variables, dataset, n_episodes, shot, query=15,
     idx_all = np.stack(list(sampler.epoch(rng))).astype(np.int32)
     enc_vars = sub_variables(variables, "encoder")
     mean, std = dataset.mean, dataset.std
-    images_dev = jax.device_put(dataset.images)
+    if images_dev is None:
+        images_dev = jax.device_put(dataset.images)
 
     @jax.jit
     def scores_fn(enc_vars, images, idx_all):
@@ -133,19 +134,21 @@ def main():
 
     # one host->device upload, amortized across test epochs; cached mode
     # reuses the one-time feature encode the same way
-    images_dev = None if args.sauc else jax.device_put(ds.images)
+    images_dev = jax.device_put(ds.images)
     feats = None
     if args.cached:
         from .episodic import encode_dataset
 
         feats = encode_dataset(head.encoder, sub_variables(variables, "encoder"),
                                ds, images_dev=images_dev)
+        images_dev = None  # only feats are needed — release the uint8 HBM
 
     all_accs = []
     for epoch in range(1, args.test_epochs + 1):
         seed = rng_mod.DEFAULT_SEED + epoch - 1
         if args.sauc:
-            acc, ci, accs = sauc_eval(head, variables, ds, args.episodes, args.shot, seed=seed)
+            acc, ci, accs = sauc_eval(head, variables, ds, args.episodes,
+                                      args.shot, seed=seed, images_dev=images_dev)
         elif args.cached:
             # ep_per_batch matches the default path so both modes draw the
             # SAME episodes from the same seed — accuracies are comparable

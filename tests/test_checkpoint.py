@@ -63,6 +63,19 @@ class TestOrbaxRoundTrip:
         _, meta = load_variables(str(tmp_path / "max-va"))
         assert meta["epoch"] == 3
 
+    def test_policy_best_va_seeds_from_crash_window_old(self, tmp_path):
+        """If only max-va.old survived an interrupted save, a fresh policy
+        must still seed best_va from it — otherwise the first (worse)
+        post-resume epoch overwrites the recovered best checkpoint."""
+        v = {"params": {"w": jnp.ones((2, 2))}}
+        CheckpointPolicy(str(tmp_path)).on_epoch(1, v, {}, va=0.9)
+        os.rename(tmp_path / "max-va", tmp_path / "max-va.old")
+        pol = CheckpointPolicy(str(tmp_path))
+        assert pol.best_va == pytest.approx(0.9)
+        pol.on_epoch(2, v, {}, va=0.5)  # must NOT become the new max-va
+        _, meta = load_variables(str(tmp_path / "max-va"))
+        assert meta["epoch"] == 1 and meta["val_acc"] == pytest.approx(0.9)
+
     def test_save_is_atomic_overwrite(self, tmp_path):
         """Overwriting a checkpoint must not leave tmp/old residue and must
         keep the new contents."""
