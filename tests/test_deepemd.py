@@ -641,6 +641,52 @@ class TestMeshEmdTrain:
         for a, b in zip(base[2], meshed[2]):
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
+    def test_mesh_composes_with_remat(self, devices8):
+        """`mesh:` + `remat: true` is the intended big-model configuration
+        (episode-sharded vmap whose per-chip activations are rematerialized):
+        one sharded step must run and match the unsharded remat epoch."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fewshot_vit_tpu.parallel import make_mesh
+        from fewshot_vit_tpu.train.meta_tune_emd import (
+            make_emd_episode_fn, make_emd_epoch_fn, make_patch_fn,
+        )
+        from fewshot_vit_tpu.train.state import TrainState
+
+        way, shot, query, epb = 2, 1, 3, 8
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=8)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        tx = optax.sgd(1e-2, momentum=0.9)
+        patch_fn = make_patch_fn("grid", [2], 4, 2.0, 16, train=True)
+        episode_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
+                                         (0.5,) * 3, (0.5,) * 3, sfc=False,
+                                         train=True, remat=True)
+        labels = jnp.tile(jnp.arange(way), query)
+        rng = np.random.default_rng(3)
+        images = np.asarray(rng.integers(0, 256, (40, 16, 16, 3)).astype(np.uint8))
+        idx = np.asarray(
+            rng.integers(0, 40, (1, epb, way * (shot + query))).astype(np.int32))
+
+        def run(shard):
+            vs = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+            im, ix = jnp.asarray(images), jnp.asarray(idx)
+            if shard:
+                mesh = make_mesh({"data": 8})
+                vs = jax.device_put(vs, NamedSharding(mesh, P()))
+                im = jax.device_put(im, NamedSharding(mesh, P()))
+                ix = jax.device_put(ix, NamedSharding(mesh, P(None, "data", None)))
+            state = TrainState.create(vs, tx)
+            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb, grad_accum=False)
+            state, ms = ep(state, im, ix, jax.random.key(2))
+            return (np.asarray(ms["loss"]),
+                    jax.tree_util.tree_leaves(jax.device_get(state.params)))
+
+        base, meshed = run(False), run(True)
+        np.testing.assert_allclose(meshed[0], base[0], rtol=1e-5)
+        for a, b in zip(base[1], meshed[1]):
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
 
 class TestMeshGradAccumRejected:
     def test_pointed_error_through_main(self, tmp_path):
