@@ -77,9 +77,15 @@ def make_emd_episode_fn(
 
     ``remat=True`` wraps the encoder in ``jax.checkpoint``: the backward pass
     recomputes encoder activations instead of storing them across the
-    EMD/Sinkhorn phase — a grid episode encodes way*(shot+query)*13 patch
-    images, so this is what lets a VMAPPED task batch (bs>1) fit HBM
-    (identical losses/grads, unit-tested)."""
+    EMD/Sinkhorn phase (identical losses/grads, unit-tested). Measured limits
+    (v5e 15.75G, grid mode, 80px, 5-way 1-shot 15-query — a grid episode
+    encodes way*(shot+query)*13 = 1,040 patch images): remat alone does NOT
+    fit a vmapped bs>1 task batch on one chip (bs=4 fp32 wants 40.16G, bf16
+    27.99G; even bs=2 wants ~17-19G — the rematted backward still live-holds
+    ~0.8G fusion temps per encoder block across the batch). Single-chip
+    memory relief is ``grad_accum: true``; multi-chip is ``mesh:`` episode
+    parallelism, where remat shrinks the PER-CHIP episode so bigger models /
+    resolutions fit (docs/PERF.md table)."""
     sfc_kw = dict(sfc_kw or {})
 
     mean_a = jnp.asarray(mean, jnp.float32)

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--vmap-bs4", action="store_true",
                     help="also time bs=4 vmapped (can exceed HBM at full "
                          "query counts — off by default)")
+    ap.add_argument("--only-remat", action="store_true",
+                    help="skip the already-measured base rows; time only "
+                         "the vmapped+remat configurations")
     ap.add_argument("--tiny", action="store_true",
                     help="correctness smoke: forces the CPU platform, tiny "
                          "encoder at 32px, 2-way 2-query, 1 step — numbers "
@@ -115,6 +118,26 @@ def main():
         return models.make("deepemd", encoder="visformer_micro_80", dtype=dtype)
 
     def run(tag, dtype, bs, grad_accum, remat=False):
+        # a config that exceeds HBM is a result, not a probe failure
+        try:
+            _run(tag, dtype, bs, grad_accum, remat)
+        except Exception as e:  # jaxlib.xla_extension.XlaRuntimeError
+            msg = str(e)
+            # direct runs raise RESOURCE_EXHAUSTED; the axon relay wraps the
+            # same failure as an HTTP 500 whose body says "Ran out of memory
+            # in memory space hbm. Used X of 15.75G"
+            if any(s in msg for s in ("RESOURCE_EXHAUSTED", "Out of memory",
+                                      "Ran out of memory",
+                                      "Exceeded hbm capacity")):
+                import re
+                used = re.search(r"Used ([\d.]+[GM]) of", msg)
+                detail = f" (needs {used.group(1)})" if used else ""
+                print(f"{tag:34s}: OOM — exceeds 15.75G HBM{detail}",
+                      flush=True)
+            else:
+                raise
+
+    def _run(tag, dtype, bs, grad_accum, remat=False):
         head = make_head(dtype)
         with jax.default_device(jax.devices("cpu")[0]):
             variables = head.init(jax.random.key(0), jnp.zeros((1, img, img, 3)))
@@ -147,15 +170,21 @@ def main():
         print(f"{tag:34s}: {t*1e3:7.1f} ms/step  {eps:5.1f} episodes/s   "
               + " ".join(f"{x*1e3:.0f}" for x in times), flush=True)
 
-    run("fp32, bs=1 (reference default)", jnp.float32, 1, False)
-    if args.vmap_bs4:
-        run("fp32, bs=4, vmapped", jnp.float32, 4, False)
-    run("fp32, bs=4, grad_accum", jnp.float32, 4, True)
-    run("bf16 encoder, bs=4, grad_accum", jnp.bfloat16, 4, True)
-    # remat: jax.checkpoint around the encoder lets the VMAPPED task batch
-    # fit HBM (stored grid activations would otherwise exceed it)
+    if not args.only_remat:
+        run("fp32, bs=1 (reference default)", jnp.float32, 1, False)
+        if args.vmap_bs4:
+            run("fp32, bs=4, vmapped", jnp.float32, 4, False)
+        run("fp32, bs=4, grad_accum", jnp.float32, 4, True)
+        run("bf16 encoder, bs=4, grad_accum", jnp.bfloat16, 4, True)
+    # remat: jax.checkpoint around the encoder drops stored activations.
+    # Measured 2026-08-18 (v5e, 15.75G): it is NOT enough to fit bs=4
+    # vmapped grid batches (fp32 wants 40.16G — the rematted backward still
+    # live-holds ~0.8G temps per encoder block across the 4x1040-image
+    # batch); bs=2 is the vmapped frontier probed here.
     run("fp32, bs=4, vmapped + remat", jnp.float32, 4, False, remat=True)
     run("bf16 encoder, bs=4, vmapped + remat", jnp.bfloat16, 4, False, remat=True)
+    run("fp32, bs=2, vmapped + remat", jnp.float32, 2, False, remat=True)
+    run("bf16 encoder, bs=2, vmapped + remat", jnp.bfloat16, 2, False, remat=True)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""Training-step throughput probe (phase-1 CE and phase-2 SUN steps).
+"""Training-step throughput probe (phase-1 CE, phase-2 SUN, phase-3 tune).
 
 Measures steady-state per-step time on the real TPU at batch 512,
 visformer_micro_80, as the mean over a 10-step ``lax.scan`` program —
@@ -7,7 +7,7 @@ step-per-launch measurement is meaningless on this box: the axon relay
 charges ~10-20 ms per argument buffer per launch, so a 127-leaf variables
 pytree adds ~1.5 s/launch; the epoch-scan programs pass weights once.)
 
-Run: python tools/train_probe.py [--only all|pretrain|sun] [--repeats N]
+Run: python tools/train_probe.py [--only all|pretrain|sun|meta] [--repeats N]
 
 ``--repeats`` re-times each section N times within the process (fresh state,
 same compiled program) — the fp32 SUN step in particular shows large
@@ -27,7 +27,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["all", "pretrain", "sun"], default="all")
+    ap.add_argument("--only", choices=["all", "pretrain", "sun", "meta"],
+                    default="all")
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
     from fewshot_vit_tpu.core.watchdog import watchdog_reexec
@@ -106,6 +107,52 @@ def main():
         step = make_pretrain_step(model, tx, preprocess_fn=make_cropaug_fn(), jit=False)
         t = time_scan(step, state, img84)
         print(f"pretrain cropaug bf16: {t*1e3:5.1f} ms/step  {B/t:7.0f} img/s", flush=True)
+
+    if args.only in ("all", "meta"):
+        # phase-3 SUN-M meta-tune: the real epoch program
+        # (train/loop.py::make_meta_tune_epoch — in-program episode gather +
+        # split_shot_query + MetaBaseline step), training geometry of
+        # configs/meta_tune_mini_visformer_1shot.yaml (10-way 1-shot 5-query,
+        # ep_per_batch 8), reference SGD-momentum optimizer chain.
+        from fewshot_vit_tpu.core import datasets as ds_mod
+        import fewshot_vit_tpu.data.datasets  # noqa: F401
+        from fewshot_vit_tpu.train.loop import make_meta_tune_epoch
+
+        ds = ds_mod.make("synthetic", n_classes=16, n_per_class=64,
+                         image_size=80, seed=0)
+        images_dev = jax.device_put(ds.images)
+        way, shot, query, epb = 10, 1, 5, 8
+        per_step = epb * way * (shot + query)
+        idx = jax.device_put(jnp.asarray(
+            rng_np.integers(0, ds.images.shape[0], (N_STEPS, per_step)),
+            jnp.int32))
+        tx_meta = optax.sgd(1e-3, momentum=0.9)
+        for tag, dtype_kw in [("", {}), (" bf16", {"dtype": jnp.bfloat16})]:
+            head = models.make("meta-baseline", encoder="visformer_micro_80",
+                               **dtype_kw)
+            with jax.default_device(jax.devices("cpu")[0]):
+                hv = head.init(jax.random.key(2),
+                               jnp.zeros((1, way, shot, 80, 80, 3)),
+                               jnp.zeros((1, way * query, 80, 80, 3)))
+            state = TrainState.create(jax.device_put(hv), tx_meta)
+            epoch_fn = make_meta_tune_epoch(head, tx_meta, way, shot, query,
+                                            epb, mean=ds.mean, std=ds.std)
+            key = jax.random.key(3)
+            # the program donates the state: chain warm + timed calls
+            state, ms = epoch_fn(state, images_dev, idx, key)
+            np.asarray(ms["loss"])
+            state, ms = epoch_fn(state, images_dev, idx, key)
+            np.asarray(ms["loss"])
+            times = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                state, ms = epoch_fn(state, images_dev, idx, key)
+                np.asarray(ms["loss"])
+                times.append((time.perf_counter() - t0) / N_STEPS)
+            t = min(times)
+            print(f"meta-tune 10w1s5q{tag:5s}: {t*1e3:7.1f} ms/step  "
+                  f"{epb/t:6.1f} episodes/s  "
+                  f"{per_step/t:7.0f} img/s", flush=True)
 
     if args.only not in ("all", "sun"):
         return
