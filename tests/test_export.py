@@ -1,0 +1,180 @@
+"""AOT serving export (eval/export.py): jax.export round-trips.
+
+The artifact must reproduce the live eval forward exactly: weights and
+dataset normalization are baked in, input is raw uint8, and the serialized
+blob must deserialize and run through ``Exported.call`` alone (the serving
+side imports only jax)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fewshot_vit_tpu.data.transforms import normalize
+from fewshot_vit_tpu.eval.export import (
+    export_encoder,
+    export_episode_scorer,
+    load_exported,
+    save_exported,
+)
+from fewshot_vit_tpu.heads.meta_baseline import MetaBaseline
+
+
+class TinyEncoder(nn.Module):
+    """Minimal (dense_map, pooled) contract encoder."""
+
+    feat: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.feat, (3, 3), strides=(2, 2))(x)
+        x = nn.gelu(x)
+        pooled = x.mean(axis=(1, 2))
+        return x, pooled
+
+
+WAY, SHOT, QUERY, IMG, EPB = 3, 2, 4, 16, 2
+
+
+@pytest.fixture(scope="module")
+def head_and_vars():
+    head = MetaBaseline(encoder=TinyEncoder())
+    xs0 = jnp.zeros((1, WAY, SHOT, IMG, IMG, 3), jnp.float32)
+    xq0 = jnp.zeros((1, WAY * QUERY, IMG, IMG, 3), jnp.float32)
+    variables = head.init(jax.random.key(0), xs0, xq0)
+    return head, variables
+
+
+def _episode_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(0, 256, (EPB, WAY, SHOT, IMG, IMG, 3)).astype(np.uint8)
+    xq = rng.integers(0, 256, (EPB, WAY * QUERY, IMG, IMG, 3)).astype(np.uint8)
+    return xs, xq
+
+
+class TestEpisodeScorerExport:
+    def test_roundtrip_matches_live_forward(self, head_and_vars, tmp_path):
+        head, variables = head_and_vars
+        mean, std = (0.4, 0.5, 0.6), (0.2, 0.25, 0.3)
+        exp = export_episode_scorer(
+            head, variables, way=WAY, shot=SHOT, query=QUERY,
+            image_size=IMG, ep_per_batch=EPB, mean=mean, std=std,
+        )
+        path = str(tmp_path / "scorer.stablehlo")
+        save_exported(exp, path)
+        loaded = load_exported(path)
+
+        xs, xq = _episode_inputs()
+        got = np.asarray(loaded.call(xs, xq))
+        want = np.asarray(head.apply(
+            variables, normalize(jnp.asarray(xs), mean, std),
+            normalize(jnp.asarray(xq), mean, std), train=False,
+        ))
+        assert got.shape == (EPB, WAY * QUERY, WAY)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_artifact_rejects_wrong_shape(self, head_and_vars):
+        head, variables = head_and_vars
+        exp = export_episode_scorer(
+            head, variables, way=WAY, shot=SHOT, query=QUERY,
+            image_size=IMG, ep_per_batch=EPB,
+        )
+        xs, xq = _episode_inputs()
+        with pytest.raises(Exception):
+            exp.call(xs[:1], xq)  # episode-batch mismatch
+
+    def test_explicit_platform_recorded(self, head_and_vars):
+        head, variables = head_and_vars
+        exp = export_episode_scorer(
+            head, variables, way=WAY, shot=SHOT, query=QUERY,
+            image_size=IMG, platforms=("cpu",),
+        )
+        assert tuple(exp.platforms) == ("cpu",)
+
+
+class TestShardedExport:
+    def test_multichip_artifact_matches_single_device(self, head_and_vars,
+                                                      tmp_path, devices8):
+        """An 8-shard artifact (exported via AbstractMesh — no 8 devices
+        needed at export time) must serve sharded inputs on a concrete
+        8-device mesh and match the unsharded artifact's logits."""
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        head, variables = head_and_vars
+        epb = 8
+        kw = dict(way=WAY, shot=SHOT, query=QUERY, image_size=IMG,
+                  ep_per_batch=epb)
+        plain = export_episode_scorer(head, variables, **kw)
+        sharded = export_episode_scorer(head, variables, data_shards=8, **kw)
+        assert sharded.nr_devices == 8
+        path = str(tmp_path / "scorer8.stablehlo")
+        save_exported(sharded, path)
+        loaded = load_exported(path)
+
+        rng = np.random.default_rng(7)
+        xs = rng.integers(0, 256, (epb, WAY, SHOT, IMG, IMG, 3)).astype(np.uint8)
+        xq = rng.integers(0, 256, (epb, WAY * QUERY, IMG, IMG, 3)).astype(np.uint8)
+
+        mesh = Mesh(np.array(devices8), ("data",))
+        xs_d = jax.device_put(xs, NamedSharding(mesh, P("data")))
+        xq_d = jax.device_put(xq, NamedSharding(mesh, P("data")))
+        got = np.asarray(loaded.call(xs_d, xq_d))
+        want = np.asarray(plain.call(xs, xq))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_indivisible_shards_rejected(self, head_and_vars):
+        head, variables = head_and_vars
+        with pytest.raises(ValueError, match="data_shards"):
+            export_episode_scorer(head, variables, way=WAY, shot=SHOT,
+                                  query=QUERY, image_size=IMG,
+                                  ep_per_batch=2, data_shards=8)
+
+
+class TestEncoderExport:
+    def test_roundtrip_matches_live_forward(self, head_and_vars, tmp_path):
+        head, variables = head_and_vars
+        enc_vars = {col: tree["encoder"] for col, tree in variables.items()
+                    if "encoder" in tree}
+        exp = export_encoder(head.encoder, enc_vars, image_size=IMG, batch=4)
+        path = str(tmp_path / "encoder.stablehlo")
+        save_exported(exp, path)
+        loaded = load_exported(path)
+
+        rng = np.random.default_rng(1)
+        imgs = rng.integers(0, 256, (4, IMG, IMG, 3)).astype(np.uint8)
+        got = np.asarray(loaded.call(imgs))
+        _, want = head.encoder.apply(enc_vars, normalize(jnp.asarray(imgs)),
+                                     train=False)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+class TestExportCLI:
+    def test_cli_writes_artifact_with_synthetic_stats(self, tmp_path, capsys,
+                                                      monkeypatch):
+        cfg = tmp_path / "export.yaml"
+        cfg.write_text(
+            "dataset: synthetic\n"
+            "dataset_args: {n_classes: 4, n_per_class: 8, image_size: 16, seed: 0}\n"
+            "encoder: convnet4\n"
+            "image_size: 16\n"
+        )
+        out = tmp_path / "scorer.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["export", "--config", str(cfg), "--out", str(out),
+             "--way", "2", "--shot", "1", "--query", "2"],
+        )
+        from fewshot_vit_tpu.eval.export import main
+
+        main()
+        assert out.exists() and out.stat().st_size > 0
+        assert "exported episode scorer" in capsys.readouterr().out
+
+        loaded = load_exported(str(out))
+        rng = np.random.default_rng(2)
+        xs = rng.integers(0, 256, (1, 2, 1, 16, 16, 3)).astype(np.uint8)
+        xq = rng.integers(0, 256, (1, 4, 16, 16, 3)).astype(np.uint8)
+        assert np.asarray(loaded.call(xs, xq)).shape == (1, 4, 2)

@@ -34,6 +34,12 @@ def timeit(fn, *args, reps=3):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--sweep", default="",
+                   help="comma list of ep_per_batch sizes for the "
+                        "full-protocol sweep (default 32,64,128)")
+    p.add_argument("--full-only", action="store_true",
+                   help="skip the component probes; run only the "
+                        "full-protocol sweep")
     args = p.parse_args()
     from fewshot_vit_tpu.core.watchdog import watchdog_reexec
     watchdog_reexec(timeout_s=1800)
@@ -70,6 +76,12 @@ def main():
 
     # --- component: gather + normalize only ---
     epb = 64
+    if args.full_only:
+        sweep = ([int(s) for s in args.sweep.split(",") if s]
+                 or ([64] if args.quick else [32, 64, 128]))
+        _full_protocol_sweep(args, sweep, way, shot, query, n_episodes, ds,
+                             images_dev, flops_per_img)
+        return
     n_batches = n_episodes // epb
     idx = np.random.default_rng(0).integers(0, len(ds), (n_batches, epb * way * (shot + query)), dtype=np.int32)
     idx_dev = jnp.asarray(idx)
@@ -109,7 +121,20 @@ def main():
     # --- full protocol: fp32 vs bf16 x ep_per_batch sweep ---
     # (Pallas attention is benchmarked at the kernel level in
     # tools/attn_bench.py — XLA wins at these shapes, see docs/KERNELS.md.)
-    sweep = [64] if args.quick else [32, 64, 128]
+    sweep = ([int(s) for s in args.sweep.split(",") if s]
+             or ([64] if args.quick else [32, 64, 128]))
+    _full_protocol_sweep(args, sweep, way, shot, query, n_episodes, ds,
+                         images_dev, flops_per_img)
+
+
+def _full_protocol_sweep(args, sweep, way, shot, query, n_episodes, ds,
+                         images_dev, flops_per_img):
+    import jax
+    import jax.numpy as jnp
+
+    from fewshot_vit_tpu.core import models
+    from fewshot_vit_tpu.eval.episodic import evaluate
+
     for dtype, tag in [(jnp.float32, "fp32"), (jnp.bfloat16, "bf16")]:
         head = models.make("meta-baseline", encoder="visformer_micro_80", dtype=dtype)
         xs0 = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
