@@ -178,3 +178,62 @@ class TestExportCLI:
         xs = rng.integers(0, 256, (1, 2, 1, 16, 16, 3)).astype(np.uint8)
         xq = rng.integers(0, 256, (1, 4, 16, 16, 3)).astype(np.uint8)
         assert np.asarray(loaded.call(xs, xq)).shape == (1, 4, 2)
+
+    def _write_cfg(self, tmp_path):
+        cfg = tmp_path / "export.yaml"
+        cfg.write_text(
+            "dataset: synthetic\n"
+            "dataset_args: {n_classes: 4, n_per_class: 8, image_size: 16, seed: 0}\n"
+            "encoder: convnet4\n"
+            "image_size: 16\n"
+        )
+        return cfg
+
+    def test_cli_encoder_only(self, tmp_path, capsys, monkeypatch):
+        """--encoder-only exports images -> pooled embeddings (the artifact
+        behind cached/feature-store protocols) through the real CLI."""
+        cfg = self._write_cfg(tmp_path)
+        out = tmp_path / "encoder.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["export", "--config", str(cfg), "--out", str(out),
+             "--encoder-only", "--batch", "4"],
+        )
+        from fewshot_vit_tpu.eval.export import main
+
+        main()
+        assert "exported encoder" in capsys.readouterr().out
+        loaded = load_exported(str(out))
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (4, 16, 16, 3)).astype(np.uint8)
+        emb = np.asarray(loaded.call(imgs))
+        assert emb.ndim == 2 and emb.shape[0] == 4
+        assert np.all(np.isfinite(emb))
+
+    def test_cli_data_shards(self, tmp_path, capsys, monkeypatch, devices8):
+        """--data-shards 8 builds an 8-chip artifact via AbstractMesh and the
+        blob serves sharded inputs on a concrete 8-device mesh."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        cfg = self._write_cfg(tmp_path)
+        out = tmp_path / "scorer8.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["export", "--config", str(cfg), "--out", str(out),
+             "--way", "2", "--shot", "1", "--query", "2",
+             "--ep-per-batch", "8", "--data-shards", "8"],
+        )
+        from fewshot_vit_tpu.eval.export import main
+
+        main()
+        assert "x8 device(s)" in capsys.readouterr().out
+        loaded = load_exported(str(out))
+        assert loaded.nr_devices == 8
+        rng = np.random.default_rng(4)
+        xs = rng.integers(0, 256, (8, 2, 1, 16, 16, 3)).astype(np.uint8)
+        xq = rng.integers(0, 256, (8, 4, 16, 16, 3)).astype(np.uint8)
+        mesh = Mesh(np.array(devices8), ("data",))
+        xs_d = jax.device_put(xs, NamedSharding(mesh, P("data")))
+        xq_d = jax.device_put(xq, NamedSharding(mesh, P("data")))
+        assert np.asarray(loaded.call(xs_d, xq_d)).shape == (8, 4, 2)
