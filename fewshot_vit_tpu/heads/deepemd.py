@@ -221,9 +221,15 @@ def sfc_refine(
 # --- head module ----------------------------------------------------------------
 
 
-# 'sinkhorn' selected the detached path in configs written before the rename
-_SOLVER_ALIASES = {"opencv": "sinkhorn_detached", "sinkhorn": "sinkhorn_detached"}
-_SOLVERS = ("sinkhorn_detached", "qpth", "sinkhorn_pallas")
+# 'sinkhorn' selected the detached path in configs written before the rename;
+# 'qpth' named the differentiable path after the reference's QP solver, but
+# what runs is unrolled Sinkhorn — same false-belief trap as 'opencv'.
+_SOLVER_ALIASES = {
+    "opencv": "sinkhorn_detached",
+    "sinkhorn": "sinkhorn_detached",
+    "qpth": "sinkhorn_unrolled",
+}
+_SOLVERS = ("sinkhorn_detached", "sinkhorn_unrolled", "sinkhorn_pallas")
 
 
 def _canonical_solver(solver: str) -> str:
@@ -234,14 +240,23 @@ def _canonical_solver(solver: str) -> str:
     Network.py:114-124) but NOT the exact transportation simplex (that lives
     in ``native/emd.py`` for CPU parity validation). The old config name
     'opencv' invited the false belief that the exact simplex runs on device,
-    so the truthful name is 'sinkhorn_detached'."""
+    so the truthful name is 'sinkhorn_detached'. Likewise the differentiable
+    path's old name 'qpth' suggested an interior-point QP with implicit
+    gradients (the reference's training solver, emd_utils.py:7-62); what runs
+    is Sinkhorn with gradients through the unrolled iterations, so the
+    truthful name is 'sinkhorn_unrolled'."""
     if solver in _SOLVER_ALIASES:
         import warnings
 
         new = _SOLVER_ALIASES[solver]
+        what = (
+            "differentiable unrolled Sinkhorn, not an interior-point QP"
+            if new == "sinkhorn_unrolled"
+            else "stop-gradient log-domain Sinkhorn, not the exact simplex"
+        )
         warnings.warn(
-            f"solver: '{solver}' is a legacy alias for '{new}' (stop-gradient "
-            "log-domain Sinkhorn, not the exact simplex); update your config",
+            f"solver: '{solver}' is a legacy alias for '{new}' ({what}); "
+            "update your config",
             stacklevel=3,
         )
         return new
@@ -268,10 +283,11 @@ class DeepEMD(nn.Module):
     # 'sinkhorn_detached' = stop-gradient flows (the semantics of the
     # reference's cv2.EMD path: flows are computed on detached tensors,
     # gradients reach only `similarity_map * flow`, Network.py:114-124);
-    # 'qpth' = flows differentiable through the unrolled Sinkhorn iterations
-    # (reference Network.py:77-80); 'sinkhorn_pallas' = stop-gradient flows
-    # via the fused VMEM kernel. Legacy alias 'opencv' -> 'sinkhorn_detached'
-    # (the flow is Sinkhorn, NOT the exact simplex — see _canonical_solver).
+    # 'sinkhorn_unrolled' = flows differentiable through the unrolled Sinkhorn
+    # iterations (the role of the reference's qpth training solver,
+    # Network.py:77-80); 'sinkhorn_pallas' = stop-gradient flows via the fused
+    # VMEM kernel. Legacy aliases 'opencv' -> 'sinkhorn_detached' and
+    # 'qpth' -> 'sinkhorn_unrolled' warn (see _canonical_solver).
     solver: str = "sinkhorn_detached"
     feature_pyramid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
@@ -306,7 +322,7 @@ class DeepEMD(nn.Module):
             proto_nodes, query_nodes,
             temperature=self.temperature, metric=self.metric, norm=self.norm,
             solver_reg=self.solver_reg, solver_iters=self.solver_iters,
-            differentiable=self.solver == "qpth",
+            differentiable=self.solver == "sinkhorn_unrolled",
             solver_impl="pallas" if self.solver == "sinkhorn_pallas" else "xla",
         )
 

@@ -302,6 +302,11 @@ class TestSolverNaming:
             head = models.make("deepemd", encoder="convnet4", solver="opencv")
         assert head.solver == "sinkhorn_detached"
 
+    def test_legacy_qpth_alias_warns_and_resolves(self):
+        with pytest.warns(UserWarning, match="legacy alias"):
+            head = models.make("deepemd", encoder="convnet4", solver="qpth")
+        assert head.solver == "sinkhorn_unrolled"
+
     def test_unknown_solver_rejected(self):
         with pytest.raises(ValueError, match="unknown solver"):
             models.make("deepemd", encoder="convnet4", solver="simplex")

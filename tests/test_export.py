@@ -152,8 +152,7 @@ class TestEncoderExport:
 
 
 class TestExportCLI:
-    def test_cli_writes_artifact_with_synthetic_stats(self, tmp_path, capsys,
-                                                      monkeypatch):
+    def _write_cfg(self, tmp_path):
         cfg = tmp_path / "export.yaml"
         cfg.write_text(
             "dataset: synthetic\n"
@@ -161,6 +160,11 @@ class TestExportCLI:
             "encoder: convnet4\n"
             "image_size: 16\n"
         )
+        return cfg
+
+    def test_cli_writes_artifact_with_synthetic_stats(self, tmp_path, capsys,
+                                                      monkeypatch):
+        cfg = self._write_cfg(tmp_path)
         out = tmp_path / "scorer.stablehlo"
         monkeypatch.setattr(
             "sys.argv",
@@ -179,19 +183,13 @@ class TestExportCLI:
         xq = rng.integers(0, 256, (1, 4, 16, 16, 3)).astype(np.uint8)
         assert np.asarray(loaded.call(xs, xq)).shape == (1, 4, 2)
 
-    def _write_cfg(self, tmp_path):
-        cfg = tmp_path / "export.yaml"
-        cfg.write_text(
-            "dataset: synthetic\n"
-            "dataset_args: {n_classes: 4, n_per_class: 8, image_size: 16, seed: 0}\n"
-            "encoder: convnet4\n"
-            "image_size: 16\n"
-        )
-        return cfg
-
     def test_cli_encoder_only(self, tmp_path, capsys, monkeypatch):
         """--encoder-only exports images -> pooled embeddings (the artifact
-        behind cached/feature-store protocols) through the real CLI."""
+        behind cached/feature-store protocols) through the real CLI, and the
+        artifact output must MATCH the live encoder forward loaded the same
+        way main() loads it (same config -> same weights, same dataset-stat
+        normalization) — so a stats/normalization regression in the CLI
+        encoder path fails here, not just a shape check."""
         cfg = self._write_cfg(tmp_path)
         out = tmp_path / "encoder.stablehlo"
         monkeypatch.setattr(
@@ -208,7 +206,21 @@ class TestExportCLI:
         imgs = rng.integers(0, 256, (4, 16, 16, 3)).astype(np.uint8)
         emb = np.asarray(loaded.call(imgs))
         assert emb.ndim == 2 and emb.shape[0] == 4
-        assert np.all(np.isfinite(emb))
+
+        from fewshot_vit_tpu.core import load_config
+        from fewshot_vit_tpu.core.registry import datasets as dataset_registry
+        from fewshot_vit_tpu.eval.episodic import sub_variables
+        from fewshot_vit_tpu.eval.run import load_model_for_eval
+
+        cfg_obj = load_config(str(cfg))
+        head, variables = load_model_for_eval(cfg_obj)
+        ds = dataset_registry.make(cfg_obj["dataset"],
+                                   **dict(cfg_obj.get("dataset_args", {})))
+        _, want = head.encoder.apply(
+            sub_variables(variables, "encoder"),
+            normalize(jnp.asarray(imgs), ds.mean, ds.std), train=False,
+        )
+        np.testing.assert_allclose(emb, np.asarray(want), rtol=1e-6, atol=1e-6)
 
     def test_cli_data_shards(self, tmp_path, capsys, monkeypatch, devices8):
         """--data-shards 8 builds an 8-chip artifact via AbstractMesh and the
