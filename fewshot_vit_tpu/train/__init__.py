@@ -1,6 +1,7 @@
 from .optim import (
     make_optimizer,
-    cosine_warmup_schedule,
+    timm_cosine_schedule,
+    timm_multistep_schedule,
     multistep_schedule,
     zero_nan_grads,
     decay_mask,
@@ -10,7 +11,8 @@ from .steps import make_pretrain_step, make_sun_step, make_meta_tune_step
 
 __all__ = [
     "make_optimizer",
-    "cosine_warmup_schedule",
+    "timm_cosine_schedule",
+    "timm_multistep_schedule",
     "multistep_schedule",
     "zero_nan_grads",
     "decay_mask",

@@ -159,6 +159,8 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
                 ).mean(), logits
 
             if grad_accum:
+                from .optim import zero_nan_tensor
+
                 def one(carry, scan_e):
                     idx_e, key_e = scan_e
                     (loss_e, logits_e), grads_e = jax.value_and_grad(
@@ -166,8 +168,14 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
                     loss_a, acc_a, grads_a = carry
                     acc_e = jnp.mean(
                         (jnp.argmax(logits_e, -1) == labels).astype(jnp.float32))
+                    # detect_grad_nan runs after EVERY accumulation episode in
+                    # the reference (train_meta.py:174) and zeroes the
+                    # ACCUMULATED .grad buffer of any param whose sum contains
+                    # NaN — wiping prior episodes' contributions to that
+                    # tensor too. Same rule here: accumulate, then reset the
+                    # accumulator tensor if it went NaN.
                     grads_a = jax.tree_util.tree_map(
-                        lambda a, g: a + g, grads_a, grads_e)
+                        lambda a, g: zero_nan_tensor(a + g), grads_a, grads_e)
                     return (loss_a + loss_e, acc_a + acc_e, grads_a), None
 
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
@@ -198,6 +206,27 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
         return state, ms
 
     return jax.jit(epoch_fn_inner, donate_argnums=(0,))
+
+
+def build_sund_optimizer(cfg, train_batches: int) -> optax.GradientTransformation:
+    """The reference's SUN-D recipe (``meta_tuning_sun_d/train_meta.py:115-116``):
+    nesterov SGD(momentum .9, wd 5e-4 on EVERY param) + StepLR(step_size,
+    gamma) stepped once per epoch — expressed as milestones at each
+    step_size multiple. ``detect_grad_nan`` (``Models/utils.py:115-118``)
+    becomes the in-jit NaN-zeroing transform. Trajectory-anchored against the
+    real torch loop in tests/test_trajectory_parity.py."""
+    epochs = int(cfg.get("max_epoch", 100))
+    sched = multistep_schedule(
+        float(cfg.get("lr", 5e-4)), train_batches,
+        milestones=list(range(int(cfg.get("step_size", 10)), epochs + 1,
+                              int(cfg.get("step_size", 10)))),
+        gamma=float(cfg.get("gamma", 0.5)),
+    )
+    return optax.chain(
+        zero_nan_grads(),  # reference detect_grad_nan
+        optax.add_decayed_weights(float(cfg.get("weight_decay", 5e-4))),
+        optax.sgd(sched, momentum=0.9, nesterov=True),
+    )
 
 
 def main(cfg, args) -> TrainState:
@@ -241,17 +270,7 @@ def main(cfg, args) -> TrainState:
 
     epochs = int(cfg.get("max_epoch", 100))
     train_batches = int(cfg.get("train_batches", 50))
-    sched = multistep_schedule(
-        float(cfg.get("lr", 5e-4)), train_batches,
-        milestones=list(range(int(cfg.get("step_size", 10)), epochs + 1,
-                              int(cfg.get("step_size", 10)))),
-        gamma=float(cfg.get("gamma", 0.5)),
-    )
-    tx = optax.chain(
-        zero_nan_grads(),  # reference detect_grad_nan
-        optax.add_decayed_weights(5e-4),
-        optax.sgd(sched, momentum=0.9, nesterov=True),
-    )
+    tx = build_sund_optimizer(cfg, train_batches)
     state = TrainState.create(variables, tx)
 
     mesh_cfg = cfg.get("mesh")

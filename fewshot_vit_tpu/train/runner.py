@@ -21,7 +21,12 @@ from ..checkpoint import load_variables
 from ..data.datasets import ArrayDataset
 from ..eval.episodic import evaluate
 from ..heads import MetaBaseline
-from .optim import cosine_warmup_schedule, make_optimizer, multistep_schedule
+from .optim import (
+    make_optimizer,
+    multistep_schedule,
+    timm_cosine_schedule,
+    timm_multistep_schedule,
+)
 
 
 def parse_args(description: str) -> Tuple[Config, argparse.Namespace]:
@@ -122,21 +127,33 @@ def build_optimizer(cfg: Config, params: Any, steps_per_epoch: int, batch_size: 
     warmup = int(oargs.get("warmup_epochs", 0))
     sched_name = oargs.get("schedule", "cosine" if name == "adamw" else "multistep")
     if sched_name == "cosine":
-        sched = cosine_warmup_schedule(
+        # timm CosineLRScheduler as the reference steps it
+        # (train_classifier.py:132,206); lr_min defaults to 0 like timm's
+        sched = timm_cosine_schedule(
             lr, steps_per_epoch, epochs, warmup,
             warmup_lr=float(oargs.get("warmup_lr", 1e-6)),
-            min_lr=float(oargs.get("min_lr", 1e-5)),
+            lr_min=float(oargs.get("min_lr", 0.0)),
         )
     elif sched_name == "multistep" and oargs.get("milestones"):
-        sched = multistep_schedule(
-            lr, steps_per_epoch, oargs["milestones"],
-            gamma=float(oargs.get("gamma", 0.1)), warmup_epochs=warmup,
-        )
+        gamma = float(oargs.get("gamma", 0.1))
+        if warmup > 0:
+            # timm MultiStepLRScheduler (train_meta_warmup.py:141: warmup_t=3,
+            # warmup_lr_init=1e-5, decay_rate=0.5)
+            sched = timm_multistep_schedule(
+                lr, steps_per_epoch, epochs, oargs["milestones"], gamma=gamma,
+                warmup_epochs=warmup,
+                warmup_lr=float(oargs.get("warmup_lr", 1e-5)),
+            )
+        else:
+            # torch MultiStepLR (utils.make_optimizer, train_meta.py:211)
+            sched = multistep_schedule(
+                lr, steps_per_epoch, oargs["milestones"], gamma=gamma)
     else:
         sched = None
     return make_optimizer(
         params, name, lr=lr, weight_decay=wd, schedule=sched,
         grad_clip=oargs.get("grad_clip"),
+        mask_decay=bool(oargs.get("mask_decay", False)),
     )
 
 

@@ -24,7 +24,8 @@ from fewshot_vit_tpu.train import (
     make_optimizer,
     make_pretrain_step,
     make_sun_step,
-    cosine_warmup_schedule,
+    timm_cosine_schedule,
+    timm_multistep_schedule,
     multistep_schedule,
 )
 
@@ -41,18 +42,54 @@ def small_batch(n=32, img=16, n_classes=6, seed=0):
 
 
 class TestSchedules:
-    def test_cosine_warmup(self):
-        s = cosine_warmup_schedule(1e-3, 10, epochs=10, warmup_epochs=2, warmup_lr=1e-6, min_lr=1e-5)
-        assert float(s(0)) == pytest.approx(1e-6, rel=1e-2)
-        assert float(s(20)) == pytest.approx(1e-3, rel=1e-3)
-        assert float(s(100)) == pytest.approx(1e-5, rel=1e-2)
+    """Per-epoch lr sequences must equal what the reference's schedulers emit
+    under its end-of-epoch ``step(epoch-1)`` discipline (train_classifier.py:206,
+    train_meta_warmup.py:217); the full trajectory anchor — real timm/torch
+    schedulers stepping a real optimizer — lives in test_trajectory_parity."""
 
-    def test_multistep_with_warmup(self):
-        s = multistep_schedule(1e-2, 10, milestones=[2, 4], warmup_epochs=1)
-        assert float(s(0)) == pytest.approx(1e-6, rel=1e-2)
-        assert float(s(10)) == pytest.approx(1e-2, rel=1e-3)
-        assert float(s(25)) == pytest.approx(1e-3, rel=1e-3)
-        assert float(s(45)) == pytest.approx(1e-4, rel=1e-3)
+    def test_timm_cosine_lagged_epochs(self):
+        import math
+
+        s = timm_cosine_schedule(1e-3, 10, epochs=10, warmup_epochs=2, warmup_lr=1e-6)
+        # epoch 1 runs at the construction lr (warmup_lr_init)
+        assert float(s(0)) == pytest.approx(1e-6, rel=1e-5)
+        assert float(s(9)) == pytest.approx(1e-6, rel=1e-5)
+        # epoch 2 at _get_lr(0) = warmup_lr_init again (the step(epoch-1) lag)
+        assert float(s(10)) == pytest.approx(1e-6, rel=1e-5)
+        # epoch 3 at _get_lr(1): halfway through warmup_t=2
+        assert float(s(20)) == pytest.approx(1e-6 + (1e-3 - 1e-6) / 2, rel=1e-5)
+        # epoch 4 at _get_lr(2): cosine at t=2 of t_initial=10 — warmup counts
+        # inside the cycle, so base lr is never reached (timm warmup_prefix=False)
+        want = 0.5 * 1e-3 * (1 + math.cos(math.pi * 2 / 10))
+        assert float(s(30)) == pytest.approx(want, rel=1e-4)
+        # constant within an epoch
+        assert float(s(31)) == float(s(39))
+        # the epoch_ex extra epoch (E=11) at _get_lr(9), still in-cycle
+        want_ex = 0.5 * 1e-3 * (1 + math.cos(math.pi * 9 / 10))
+        assert float(s(100)) == pytest.approx(want_ex, rel=1e-4)
+
+    def test_timm_multistep_warmup(self):
+        s = timm_multistep_schedule(
+            1e-2, 10, epochs=8, milestones=[4], gamma=0.5,
+            warmup_epochs=3, warmup_lr=1e-5,
+        )
+        # epochs 1-2 at warmup_lr_init (construction lr, then _get_lr(0))
+        assert float(s(0)) == pytest.approx(1e-5, rel=1e-5)
+        assert float(s(10)) == pytest.approx(1e-5, rel=1e-5)
+        # epochs 3-4 climb the warmup; epoch 5 at _get_lr(3): t+1=4 hits the
+        # milestone via bisect_right, so base*gamma — decay first used in
+        # epoch milestone+1, same as plain torch MultiStepLR
+        assert float(s(20)) == pytest.approx(1e-5 + (1e-2 - 1e-5) / 3, rel=1e-4)
+        assert float(s(30)) == pytest.approx(1e-5 + 2 * (1e-2 - 1e-5) / 3, rel=1e-4)
+        assert float(s(40)) == pytest.approx(5e-3, rel=1e-4)
+        assert float(s(70)) == pytest.approx(5e-3, rel=1e-4)
+
+    def test_torch_multistep_plain(self):
+        s = multistep_schedule(1e-2, 10, milestones=[2, 4], gamma=0.1)
+        assert float(s(0)) == pytest.approx(1e-2, rel=1e-5)
+        assert float(s(19)) == pytest.approx(1e-2, rel=1e-5)   # epoch 2 at base
+        assert float(s(20)) == pytest.approx(1e-3, rel=1e-4)   # epoch 3 decayed
+        assert float(s(45)) == pytest.approx(1e-4, rel=1e-4)   # past epoch 4
 
 
 class TestPretrainStep:

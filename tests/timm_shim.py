@@ -183,6 +183,115 @@ def _init_vit_weights(module, name="", head_bias=0.0, jax_impl=False):
         nn.init.ones_(module.weight)
 
 
+# --- timm.scheduler (faithful to timm's scheduler/{scheduler,cosine_lr,
+# multistep_lr}.py semantics for the construction + step(epoch) path the
+# reference drives: t_in_epochs=True, no noise, cycle_limit=1) -----------------
+
+
+class _Scheduler:
+    """timm Scheduler base: snapshots each param group's construction-time lr
+    as ``base_values`` and rewrites group lrs on ``step``."""
+
+    def __init__(self, optimizer, param_group_field="lr"):
+        self.optimizer = optimizer
+        self.param_group_field = param_group_field
+        self._initial_param_group_field = f"initial_{param_group_field}"
+        for group in optimizer.param_groups:
+            group.setdefault(self._initial_param_group_field, group[param_group_field])
+        self.base_values = [
+            g[self._initial_param_group_field] for g in optimizer.param_groups
+        ]
+
+    def update_groups(self, values):
+        if not isinstance(values, (list, tuple)):
+            values = [values] * len(self.optimizer.param_groups)
+        for group, value in zip(self.optimizer.param_groups, values):
+            group[self.param_group_field] = value
+
+    def step(self, epoch, metric=None):
+        values = self.get_epoch_values(epoch)
+        if values is not None:
+            self.update_groups(values)
+
+
+class CosineLRScheduler(_Scheduler):
+    """timm cosine_lr.CosineLRScheduler (warmup_prefix=False, k_decay=1)."""
+
+    def __init__(self, optimizer, t_initial, lr_min=0.0, cycle_mul=1.0,
+                 cycle_decay=1.0, cycle_limit=1, warmup_t=0, warmup_lr_init=0,
+                 warmup_prefix=False, t_in_epochs=True, **kwargs):
+        super().__init__(optimizer)
+        assert cycle_mul == 1.0 and not warmup_prefix, "shim: reference usage only"
+        self.t_initial = t_initial
+        self.lr_min = lr_min
+        self.cycle_decay = cycle_decay
+        self.cycle_limit = cycle_limit
+        self.warmup_t = warmup_t
+        self.warmup_lr_init = warmup_lr_init
+        self.t_in_epochs = t_in_epochs
+        if self.warmup_t:
+            self.warmup_steps = [
+                (v - warmup_lr_init) / self.warmup_t for v in self.base_values
+            ]
+            super().update_groups(self.warmup_lr_init)
+        else:
+            self.warmup_steps = [1 for _ in self.base_values]
+
+    def _get_lr(self, t):
+        if t < self.warmup_t:
+            return [self.warmup_lr_init + t * s for s in self.warmup_steps]
+        i = t // self.t_initial
+        t_curr = t - i * self.t_initial
+        gamma = self.cycle_decay ** i
+        if i < self.cycle_limit:
+            return [
+                self.lr_min
+                + 0.5 * (v * gamma - self.lr_min)
+                * (1 + math.cos(math.pi * t_curr / self.t_initial))
+                for v in self.base_values
+            ]
+        return [self.lr_min for _ in self.base_values]
+
+    def get_epoch_values(self, epoch):
+        return self._get_lr(epoch) if self.t_in_epochs else None
+
+
+class MultiStepLRScheduler(_Scheduler):
+    """timm multistep_lr.MultiStepLRScheduler."""
+
+    def __init__(self, optimizer, decay_t, decay_rate=1.0, warmup_t=0,
+                 warmup_lr_init=0, t_in_epochs=True, **kwargs):
+        super().__init__(optimizer)
+        self.decay_t = sorted(decay_t)
+        self.decay_rate = decay_rate
+        self.warmup_t = warmup_t
+        self.warmup_lr_init = warmup_lr_init
+        self.t_in_epochs = t_in_epochs
+        if self.warmup_t:
+            self.warmup_steps = [
+                (v - warmup_lr_init) / self.warmup_t for v in self.base_values
+            ]
+            super().update_groups(self.warmup_lr_init)
+        else:
+            self.warmup_steps = [1 for _ in self.base_values]
+
+    def get_curr_decay_steps(self, t):
+        import bisect
+
+        return bisect.bisect_right(self.decay_t, t + 1)
+
+    def _get_lr(self, t):
+        if t < self.warmup_t:
+            return [self.warmup_lr_init + t * s for s in self.warmup_steps]
+        return [
+            v * (self.decay_rate ** self.get_curr_decay_steps(t))
+            for v in self.base_values
+        ]
+
+    def get_epoch_values(self, epoch):
+        return self._get_lr(epoch) if self.t_in_epochs else None
+
+
 def install():
     timm = types.ModuleType("timm")
     data = types.ModuleType("timm.data")
@@ -214,16 +323,26 @@ def install():
     vit._init_vit_weights = _init_vit_weights
     resnet_m = types.ModuleType("timm.models.resnet")
     resnet_m.resnet26d = resnet_m.resnet50d = resnet_m.resnet101d = _noop
+    scheduler = types.ModuleType("timm.scheduler")
+    scheduler.CosineLRScheduler = CosineLRScheduler
+    scheduler.MultiStepLRScheduler = MultiStepLRScheduler
+    optim = types.ModuleType("timm.optim")
+    # timm.optim.AdamW is a verbatim copy of torch's decoupled AdamW
+    # (timm optim/adamw.py header cites the torch implementation)
+    optim.AdamW = torch.optim.AdamW
 
     for name, mod in [
         ("timm", timm), ("timm.data", data), ("timm.models", models_m),
         ("timm.models.helpers", helpers), ("timm.models.layers", layers),
         ("timm.models.registry", registry),
         ("timm.models.vision_transformer", vit), ("timm.models.resnet", resnet_m),
+        ("timm.scheduler", scheduler), ("timm.optim", optim),
     ]:
         sys.modules.setdefault(name, mod)
     timm.data = data
     timm.models = models_m
+    timm.scheduler = scheduler
+    timm.optim = optim
     models_m.helpers = helpers
     models_m.layers = layers
     models_m.registry = registry
