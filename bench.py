@@ -29,10 +29,10 @@ import numpy as np
 from fewshot_vit_tpu.core.watchdog import watchdog_reexec
 
 
-def main():
-    # Warm-cache runs finish in ~2 min; a cold remote compile adds a few
-    # more. Past 1500s the device relay is hung — fail loudly.
-    watchdog_reexec(timeout_s=1500)
+def measure() -> dict:
+    """Run the headline benchmark; returns the result dict (also consumed by
+    tools/perf_rounds.py for the round-over-round regression table). The
+    caller is responsible for the hang watchdog."""
     import jax
     import jax.numpy as jnp
 
@@ -80,12 +80,19 @@ def main():
     eps_per_sec = n_episodes / dt
 
     target_per_chip = 10000.0 / 60.0 / 4.0  # v4-8 north star, per chip
-    print(json.dumps({
+    return {
         "metric": "eval_episodes_per_sec_per_chip_5way1shot_full_protocol",
         "value": round(eps_per_sec, 2),
         "unit": "episodes/s/chip",
         "vs_baseline": round(eps_per_sec / target_per_chip, 3),
-    }))
+    }
+
+
+def main():
+    # Warm-cache runs finish in ~2 min; a cold remote compile adds a few
+    # more. Past 1500s the device relay is hung — fail loudly.
+    watchdog_reexec(timeout_s=1500)
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":
