@@ -30,7 +30,7 @@ from .. import heads as _heads  # noqa: F401
 from ..data import datasets as _datasets  # noqa: F401
 from ..checkpoint import load_variables
 from ..data.sampler import EpisodeSampler
-from ..ops.metric import mean_confidence_interval
+from ..ops.metric import normal_confidence_interval
 from ..train.runner import build_dataset, load_encoder_from_checkpoint
 from .episodic import sub_variables
 
@@ -75,6 +75,13 @@ def main():
     mode = cfg.get("deepemd", "grid")
     img = int(cfg.get("image_size", 80))
 
+    if cfg.get("solver") == "exact" and jax.default_backend() != "cpu":
+        print("WARNING: solver 'exact' runs the C++ simplex as a HOST "
+              "callback — parity-grade CPU mode (JAX_PLATFORMS=cpu). Some "
+              "device runtimes (e.g. the axon relay) reject host callbacks "
+              "outright, and on real TPUs every EMD batch round-trips to "
+              "the host; the production on-device solver is "
+              "'sinkhorn_detached'.")
     head = models.make(
         "deepemd",
         encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
@@ -92,7 +99,13 @@ def main():
     variables = jax.device_put(variables)
     path = cfg.get("load") or cfg.get("load_encoder")
     if path:
-        if cfg.get("load"):
+        if str(path).endswith(".pth"):
+            # reference SUN-D checkpoint ({'params': state_dict}, e.g. the
+            # released max_acc.pth) through the torch converter
+            from ..checkpoint.io import load_reference_head_checkpoint
+
+            variables = load_reference_head_checkpoint(path, head, variables)
+        elif cfg.get("load"):
             variables, _ = load_variables(path)
         else:
             enc_vars = load_encoder_from_checkpoint(path, sub_variables(variables, "encoder"))
@@ -103,8 +116,11 @@ def main():
     patch_fn = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                              int(cfg.get("num_patch", 9)),
                              float(cfg.get("patch_ratio", 2.0)), img, False)
+    # standalone-eval default is 100 (meta_tuning_sun_d/eval.py:41), NOT the
+    # trainer's 0.1 (train_meta.py:56) — the released checkpoints were
+    # evaluated with sfc_lr=100
     sfc_kw = {"steps": int(cfg.get("sfc_update_step", 100)),
-              "lr": float(cfg.get("sfc_lr", 0.1)),
+              "lr": float(cfg.get("sfc_lr", 100.0)),
               "batch_size": int(cfg.get("sfc_bs", 4))}
     labels = jnp.tile(jnp.arange(way), query)
 
@@ -146,7 +162,7 @@ def main():
         idx_dev = jax.device_put(idx_dev, NamedSharding(mesh, P(None, "data", None)))
     accs = np.asarray(run(variables, data_dev, idx_dev,
                           rng_mod.root_key(rng_mod.DEFAULT_SEED)))[:n_episodes]
-    m, h = mean_confidence_interval(accs)
+    m, h = normal_confidence_interval(accs)
     print(f"{way}-way {shot}-shot ({mode}): acc={m * 100:.2f} +- {h * 100:.2f} (%)  [{n_episodes} episodes]")
 
 

@@ -102,6 +102,48 @@ def similarity_map(proto: jax.Array, query: jax.Array, metric: str = "cosine") -
     raise ValueError(metric)
 
 
+def exact_flows(cost: jax.Array, w1: jax.Array, w2: jax.Array) -> jax.Array:
+    """Exact transportation-simplex flows via the first-party C++ solver
+    (``native/emd_solver.cpp``), as a host callback.
+
+    Bit-for-bit the semantics of the reference's eval path — one exact EMD
+    per (query, prototype) pair with detached flows (``Network.py:114-124``
+    runs cv2.EMD; any exact solver yields the same OPTIMAL OBJECTIVE, hence
+    the same ``(sim * flow).sum()`` logits, even where the optimal flow
+    matrix itself is degenerate-non-unique). This is the CPU parity-grade
+    mode (used by the SUN-D protocol chain test and available as
+    ``solver: 'exact'``); the production TPU path stays the on-device
+    Sinkhorn — a host round-trip per batch is the exact cost the TPU
+    re-design removed.
+
+    Inputs/outputs are stop-gradient'ed: flows are constants to autodiff,
+    matching the reference's eval-mode treatment of cv2 flows.
+    """
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    w1 = jax.lax.stop_gradient(w1.astype(jnp.float32))
+    w2 = jax.lax.stop_gradient(w2.astype(jnp.float32))
+    n1, n2 = cost.shape[-2:]
+
+    def host(c, a, b):
+        import numpy as np
+
+        from ..native.emd import emd_exact
+
+        c = np.asarray(c, np.float64)
+        flows, _ = emd_exact(
+            c.reshape(-1, n1, n2),
+            np.asarray(a, np.float64).reshape(-1, n1),
+            np.asarray(b, np.float64).reshape(-1, n2),
+        )
+        return flows.reshape(c.shape).astype(np.float32)
+
+    flow = jax.pure_callback(
+        host, jax.ShapeDtypeStruct(cost.shape, jnp.float32),
+        cost, w1, w2, vmap_method="legacy_vectorized",
+    )
+    return jax.lax.stop_gradient(flow)
+
+
 def emd_logits(
     proto: jax.Array,
     query: jax.Array,
@@ -118,7 +160,9 @@ def emd_logits(
 
     ``solver_impl='pallas'`` dispatches the Sinkhorn inner loop to the fused
     VMEM-resident kernel (``kernels/sinkhorn.py``; identical math, flows
-    stop-gradient).
+    stop-gradient). ``solver_impl='exact'`` routes flows through the
+    first-party C++ transportation simplex on the host (``exact_flows``) —
+    the reference's exact cv2.EMD semantics, for parity-grade CPU eval.
 
     The OT math always runs fp32: log-domain Sinkhorn iterations are not
     bf16-stable, so bf16 encoders (``--bf16`` eval) hand off here."""
@@ -134,7 +178,9 @@ def emd_logits(
 
     w1 = normalize_weights(w_query)
     w2 = normalize_weights(w_proto)
-    if solver_impl == "pallas" and not differentiable:
+    if solver_impl == "exact":
+        flow = exact_flows(1.0 - sim, w1, w2)
+    elif solver_impl == "pallas" and not differentiable:
         from ..kernels.sinkhorn import sinkhorn_pallas
 
         cost = 1.0 - sim
@@ -161,6 +207,7 @@ def sfc_refine(
     batch_size: int = 4,
     momentum: float = 0.9,
     dampening: float = 0.9,
+    perms: Optional[jax.Array] = None,
     **emd_kw: Any,
 ) -> jax.Array:
     """SFC prototype refinement (reference ``get_sfc``, ``:83-107``).
@@ -179,6 +226,11 @@ def sfc_refine(
 
     Runs fp32 regardless of the encoder dtype: the inner SGD accumulates
     small updates that bf16 prototypes would quantize away.
+
+    ``perms`` (steps, way*shot) optionally injects the per-step shuffle
+    orders instead of drawing them from ``key`` — used by the SUN-D protocol
+    chain test to replay the reference's recorded ``torch.randperm`` stream
+    and pin the SFC trajectory step-for-step.
     """
     proto = proto.astype(jnp.float32)
     support = support.astype(jnp.float32)
@@ -193,9 +245,10 @@ def sfc_refine(
     grad_fn = jax.grad(loss_fn)
     n_batches = -(-n_support // batch_size)
 
-    def step(carry, k):
+    def step(carry, scan_x):
         p, buf, t = carry
-        perm = jax.random.permutation(k, n_support)
+        perm = (scan_x if perms is not None
+                else jax.random.permutation(scan_x, n_support))
 
         def inner(carry2, b):
             p, buf, t = carry2
@@ -213,8 +266,9 @@ def sfc_refine(
 
     buf0 = jnp.zeros_like(proto)
     t0 = jnp.int32(0)
-    (proto, _, _), _ = jax.lax.scan(
-        step, (proto, buf0, t0), jax.random.split(key, steps))
+    xs = (jnp.asarray(perms, jnp.int32) if perms is not None
+          else jax.random.split(key, steps))
+    (proto, _, _), _ = jax.lax.scan(step, (proto, buf0, t0), xs)
     return jax.lax.stop_gradient(proto)
 
 
@@ -229,7 +283,8 @@ _SOLVER_ALIASES = {
     "sinkhorn": "sinkhorn_detached",
     "qpth": "sinkhorn_unrolled",
 }
-_SOLVERS = ("sinkhorn_detached", "sinkhorn_unrolled", "sinkhorn_pallas")
+_SOLVERS = ("sinkhorn_detached", "sinkhorn_unrolled", "sinkhorn_pallas",
+            "exact")
 
 
 def _canonical_solver(solver: str) -> str:
@@ -286,8 +341,11 @@ class DeepEMD(nn.Module):
     # 'sinkhorn_unrolled' = flows differentiable through the unrolled Sinkhorn
     # iterations (the role of the reference's qpth training solver,
     # Network.py:77-80); 'sinkhorn_pallas' = stop-gradient flows via the fused
-    # VMEM kernel. Legacy aliases 'opencv' -> 'sinkhorn_detached' and
-    # 'qpth' -> 'sinkhorn_unrolled' warn (see _canonical_solver).
+    # VMEM kernel; 'exact' = the reference's exact-EMD eval semantics
+    # bit-for-bit via the first-party C++ simplex as a host callback (CPU
+    # parity-grade mode — see `exact_flows`). Legacy aliases 'opencv' ->
+    # 'sinkhorn_detached' and 'qpth' -> 'sinkhorn_unrolled' warn
+    # (see _canonical_solver).
     solver: str = "sinkhorn_detached"
     feature_pyramid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
@@ -323,7 +381,8 @@ class DeepEMD(nn.Module):
             temperature=self.temperature, metric=self.metric, norm=self.norm,
             solver_reg=self.solver_reg, solver_iters=self.solver_iters,
             differentiable=self.solver == "sinkhorn_unrolled",
-            solver_impl="pallas" if self.solver == "sinkhorn_pallas" else "xla",
+            solver_impl={"sinkhorn_pallas": "pallas", "exact": "exact"}.get(
+                self.solver, "xla"),
         )
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

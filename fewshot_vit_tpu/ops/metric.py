@@ -120,6 +120,21 @@ def mean_confidence_interval(accs, confidence: float = 0.95):
     return m, h
 
 
+def normal_confidence_interval(accs):
+    """(mean, halfwidth) with the SUN-D reference's formula: ``1.96 *
+    std / sqrt(n)`` with the POPULATION std (ddof=0) — ``meta_tuning_sun_d/
+    Models/utils.py:62-72`` — not the Student-t interval the SUN-M test
+    phase uses (``mean_confidence_interval``). Indistinguishable at the
+    2000-episode protocol, but the SUN-D eval/train CLIs report this one so
+    their printed numbers match the reference's bit-for-bit."""
+    import numpy as np
+
+    a = np.asarray(accs, dtype=np.float64).reshape(-1)
+    m = float(np.mean(a))
+    pm = 1.96 * float(np.std(a)) / np.sqrt(a.shape[0])
+    return m, pm
+
+
 def roc_auc(scores, labels) -> float:
     """Binary ROC-AUC (reference ``--sauc`` mode, ``test_few_shot.py:95-112``).
 

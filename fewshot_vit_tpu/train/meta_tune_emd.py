@@ -33,7 +33,7 @@ from ..checkpoint import CheckpointPolicy, has_checkpoint
 from ..data.patches import grid_patches, sampling_patches
 from ..data.sampler import EpisodeSampler
 from ..heads.deepemd import sfc_refine
-from ..ops.metric import mean_confidence_interval
+from ..ops.metric import normal_confidence_interval
 from .loop import metrics_mean
 from .optim import multistep_schedule, zero_nan_grads
 from .runner import build_dataset, load_encoder_from_checkpoint, model_dtype, parse_args, save_dir_for
@@ -420,7 +420,7 @@ def main(cfg, args) -> TrainState:
 
         accs = np.asarray(val_fn(state.variables, val_images, jnp.asarray(val_idx),
                                  rng_mod.epoch_key(root, 0)))[:val_episodes]
-        va, ci = mean_confidence_interval(accs)
+        va, ci = normal_confidence_interval(accs)
         if va > best_va:
             best_va, best_epoch = va, epoch
         logger.log(
@@ -451,7 +451,7 @@ def main(cfg, args) -> TrainState:
                        else jax.device_put(test_ds.images, data_shard))
         accs = np.asarray(val_fn(best_vars, test_images, jnp.asarray(test_idx),
                                  rng_mod.epoch_key(root, 1)))[:test_episodes]
-        m_t, ci_t = mean_confidence_interval(accs)
+        m_t, ci_t = normal_confidence_interval(accs)
         # max-va meta is authoritative (it survives resume; local best_va/
         # best_epoch only cover this process's epochs)
         best_va_saved = best_meta.get("val_acc", best_va)

@@ -63,6 +63,24 @@ def load_sun_d_module(modname: str):
     return sys.modules[full]
 
 
+def load_sun_d_file(relpath: str):
+    """Load an arbitrary module file from ``meta_tuning_sun_d`` by relative
+    path (e.g. ``Models/dataloader/samplers.py``, the grid dataloader).
+    torchvision-dependent files need ``tests.torchvision_shim.install()``
+    first."""
+    install_qpth_shim()
+    name = "refsund_" + relpath.replace("/", "_").removesuffix(".py")
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_ROOT, "meta_tuning_sun_d", relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 _TEST_PHASE = None
 
 
