@@ -74,7 +74,16 @@ sys.exit(0 if ok else 1)
 PY
 }
 
+diagnose() {
+  # a shot run missed the published bar: localize where the conversion
+  # diverges — per-module torch-vs-flax activation table (first row over
+  # tolerance is the faulty module)
+  local ckpt="$1"
+  echo "--- activation diff for $ckpt (tools/activation_diff.py) ---"
+  python tools/activation_diff.py --ckpt "$ckpt" || true
+}
+
 status=0
-run_shot 1 "$CKPT1" || status=1
-run_shot 5 "$CKPT5" || status=1
+run_shot 1 "$CKPT1" || { status=1; diagnose "$CKPT1"; }
+run_shot 5 "$CKPT5" || { status=1; diagnose "$CKPT5"; }
 exit $status
