@@ -7,14 +7,18 @@ Runs, in ONE process on the ambient accelerator:
   p1  phase-1 CE pretraining       -> acc of its encoder
   p2  phase-2 SUN token labeling   -> acc of its encoder
   p3  phase-3a Meta-Baseline tune  -> acc of the tuned head (max-va)
+  p4  phase-3b SUN-D EMD tune      -> DeepEMD grid acc of ITS max-va, 1-shot
+      (p4_1shot) and 5-shot through the SFC path (p4_5shot) — anchors the
+      most algorithmically delicate phase (Sinkhorn grads, nesterov chain,
+      SFC) to actual transfer quality, not just wiring (VERDICT r3 #3)
 
 Train classes and test classes are DISJOINT draws from the same generative
 family (`synthetic-local`, class_seed 0 vs 1), so the accuracies measure
 transfer, not memorization — the synthetic analogue of the reference's
 published-number practice (test_phase/test_few_shot.py:114-117).
 
-Prints one JSON line {"p0": ..., "p1": ..., "p2": ..., "p3": ...}.
-Scale knobs via env: LPROBE_EPOCHS1/2/3, LPROBE_EPISODES.
+Prints one JSON line {"p0", "p1", "p2", "p3", "p4_1shot", "p4_5shot"}.
+Scale knobs via env: LPROBE_EPOCHS1/2/3/4, LPROBE_EPISODES.
 
 The default-on test `tests/test_cli_integration.py::TestLearningQuality`
 asserts p3 beats chance and p0 by wide margins and p2 >= p1.
@@ -29,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(save_root: str, epochs1: int = 12, epochs2: int = 8, epochs3: int = 3,
-        n_episodes: int = 200, seed: int = 12345) -> dict:
+        epochs4: int = 2, n_episodes: int = 200, seed: int = 12345) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -119,6 +123,57 @@ def run(save_root: str, epochs1: int = 12, epochs2: int = 8, epochs3: int = 3,
                           n_episodes=n_episodes, way=5, shot=1, query=15,
                           ep_per_batch=8, seed=5)
     res["p3"] = float(acc3)
+
+    # p4: phase-3b SUN-D grid EMD tune from the SAME p2 encoder
+    # (reference flow: meta_tuning_sun_d/train_meta.py:136-277)
+    from fewshot_vit_tpu.train import meta_tune_emd
+
+    cfg4 = Config({
+        "train_dataset": "synthetic-local", "train_dataset_args": train_args,
+        "val_dataset": "synthetic-local",
+        "val_dataset_args": {**train_args, "seed": 4},
+        "model_args": {"encoder": enc_name},
+        "load_encoder": os.path.join(save_root, "lp_p2", "epoch-last"),
+        "way": 5, "shot": 1, "query": 10, "deepemd": "grid",
+        "max_epoch": epochs4, "train_batches": 30, "bs": 1,
+        "lr": 5e-4, "step_size": 10, "gamma": 0.5, "weight_decay": 5e-4,
+        "val_episode": 60, "test_episode": 0,
+    })
+    meta_tune_emd.main(cfg4, args_for("lp_p4"))
+    best4, _ = load_variables(os.path.join(save_root, "lp_p4", "max-va"))
+    best4 = jax.device_put(best4)
+
+    # DeepEMD transfer eval on the NOVEL classes (cached grid protocol),
+    # 1-shot and 5-shot-with-SFC on the same tuned weights
+    import numpy as np
+
+    from fewshot_vit_tpu.core import rng as rng_mod
+    from fewshot_vit_tpu.data.sampler import EpisodeSampler
+    from fewshot_vit_tpu.eval.emd_eval import (
+        group_episode_indices,
+        make_emd_cached_episode_fn,
+        make_emd_eval_run_fn,
+        make_emd_node_cache_fn,
+    )
+    from fewshot_vit_tpu.train.meta_tune_emd import make_patch_fn
+
+    head4 = models.make("deepemd", encoder=enc_name)
+    patch_fn = make_patch_fn("grid", [2, 3], 9, 2.0, 80, False)
+    nodes = make_emd_node_cache_fn(head4, patch_fn, test_ds.mean, test_ds.std)(
+        best4, jax.device_put(jnp.asarray(test_ds.images)))
+    for shot, tag in ((1, "p4_1shot"), (5, "p4_5shot")):
+        ep_fn = make_emd_cached_episode_fn(
+            head4, 5, shot, sfc=shot > 1,
+            sfc_kw={"steps": 100, "lr": 0.1, "batch_size": 4})
+        run_fn = make_emd_eval_run_fn(ep_fn, jnp.tile(jnp.arange(5), 15))
+        sampler = EpisodeSampler(test_ds.labels, n_episodes, 5, shot + 15, 1)
+        idx = np.stack(list(sampler.epoch(rng_mod.np_rng(5))))
+        idx = (idx.reshape(n_episodes, 5, shot + 15)
+               .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
+        idx = jnp.asarray(group_episode_indices(idx, 16))
+        accs = np.asarray(run_fn(best4, nodes, idx,
+                                 rng_mod.root_key(5)))[:n_episodes]
+        res[tag] = float(accs.mean())
     return {k: round(v, 4) for k, v in res.items()}
 
 
@@ -133,6 +188,7 @@ def main():
         epochs1=int(os.environ.get("LPROBE_EPOCHS1", 12)),
         epochs2=int(os.environ.get("LPROBE_EPOCHS2", 8)),
         epochs3=int(os.environ.get("LPROBE_EPOCHS3", 3)),
+        epochs4=int(os.environ.get("LPROBE_EPOCHS4", 2)),
         n_episodes=int(os.environ.get("LPROBE_EPISODES", 200)),
     )
     print(json.dumps(res))
