@@ -12,6 +12,18 @@ Definitions (matching the reference):
     teacher's top-k classes;
   * the ``bg`` patches with the lowest max-logit ("least salient") instead get
     `on` at the background class C.
+
+One evident reference defect is fixed here (proof by execution:
+``tests/test_ops.py::TestSoftLabel::test_reference_bg_label_defect_proof``):
+``offline.py:71`` fills ``bg_map`` with ``c`` taken from
+``logits_max.size(1)`` — which is **1** after the ``max(dim=1,
+keepdim=True)`` at :61-62 — so the reference actually scatters background
+tokens onto REAL CLASS 1, not the background class ``n_classes`` that the
+(C+1)-wide label tensor (:73-74) and the ``n_classes+1`` ``classifier_local``
+allocation (token_label.py:43) exist for. This port labels them class C (the
+evident intent); the trajectory test compares against the reference with
+exactly that one index moved (``tests/test_trajectory_parity.py::
+TestSunTrajectory``).
 """
 
 from __future__ import annotations

@@ -189,6 +189,47 @@ def load_phase_model_module(phase: str, modname: str):
     return mod, registry
 
 
+def load_sun_offline():
+    """Load ``sun_meta_training/offline.py`` — the REAL phase-2 SUN loop
+    module (``generate_softlabel``, ``SoftTargetCrossEntropy``) — seeding the
+    absolute ``datasets``/``models``/``utils`` names it imports. Needs the
+    timm + torchvision shims (installed here)."""
+    name = "ref_smt_offline"
+    if name in sys.modules:
+        return sys.modules[name]
+    from . import timm_shim, torchvision_shim
+
+    timm_shim.install()
+    torchvision_shim.install()
+    ref = os.path.join(REF_ROOT, "sun_meta_training")
+    registry = load_ref_model_module("sun_meta_training", "models")
+    utils_mod = load_phase_utils("sun_meta_training")
+    spec = importlib.util.spec_from_file_location(
+        "ref_smt_datasets", os.path.join(ref, "datasets", "__init__.py"),
+        submodule_search_locations=[os.path.join(ref, "datasets")],
+    )
+    ds_mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_smt_datasets"] = ds_mod
+    saved = {k: sys.modules.get(k) for k in ("models", "utils", "datasets")}
+    sys.modules["models"] = registry
+    sys.modules["utils"] = utils_mod
+    sys.modules["datasets"] = ds_mod
+    try:
+        spec.loader.exec_module(ds_mod)
+        spec2 = importlib.util.spec_from_file_location(
+            name, os.path.join(ref, "offline.py"))
+        mod = importlib.util.module_from_spec(spec2)
+        sys.modules[name] = mod
+        spec2.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
 def load_sun_m_utils():
     """Back-compat alias: ``sun_meta_training/utils``."""
     mod = load_phase_utils("sun_meta_training")

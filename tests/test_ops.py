@@ -122,6 +122,49 @@ class TestSoftLabel:
         )
         assert np.isclose(sums, bg_sum, atol=1e-5).sum() == 10
 
+    @pytest.mark.slow
+    def test_reference_bg_label_defect_proof(self):
+        """Executed proof of the reference defect this port fixes by evident
+        intent: ``offline.py:71`` fills ``bg_map`` with ``c`` where ``c`` is
+        ``logits_max.size(1)`` — which is **1** after ``max(dim=1,
+        keepdim=True)`` (:61-62) — so background tokens are scattered onto
+        REAL CLASS 1, not the background class ``n_classes`` that the
+        (C+1)-wide label space (:73-74) and the ``n_classes+1``
+        ``classifier_local`` allocation (token_label.py:43) exist for. Our
+        ``generate_soft_label`` labels them class C; the only difference from
+        the real reference output is exactly that one index per bg row."""
+        from . import ref_loader
+
+        if not ref_loader.available():
+            pytest.skip("reference/torch not available")
+        import torch
+
+        off = ref_loader.load_sun_offline()
+        rng = np.random.default_rng(11)
+        c, k, bp = 12, 5, 10
+        logits_nhwc = rng.normal(size=(2, 5, 5, c)).astype(np.float32)
+        # the reference's :69 ``.view`` only works on NCHW tensors whose
+        # storage is NHWC — exactly what TokenLabelOffline.forward produces
+        # (token_label.py:50-56 permutes a channels-last classifier output)
+        ref = off.generate_softlabel(
+            torch.from_numpy(logits_nhwc).permute(0, 3, 1, 2), k=k, bp=bp,
+            device="cpu").numpy()  # (2*25, c+1)
+        on_count = (ref > 0.5).sum(1)
+        bg_rows = on_count == 1  # fg rows carry k=5 on-values
+        assert bg_rows.sum() == 2 * bp
+        # the defect, by execution: every bg row's on-value sits at index 1
+        assert (ref[bg_rows].argmax(1) == 1).all()
+        assert not (ref[bg_rows].argmax(1) == c).any()
+        # our output == the reference with ONLY that index moved to class C
+        off_v, on_v = 0.1 / c, 1 - 0.1 + 0.1 / c
+        fixed = ref.copy()
+        fixed[bg_rows, 1] = off_v
+        fixed[bg_rows, c] = on_v
+        ours = np.asarray(generate_soft_label(
+            jnp.asarray(logits_nhwc.reshape(2, 25, c)),
+            0.1, k=k, bg_tokens=bp)).reshape(-1, c + 1)
+        np.testing.assert_allclose(ours, fixed, atol=1e-6)
+
     def test_soft_ce(self):
         rng = np.random.default_rng(9)
         x = rng.normal(size=(6, 5)).astype(np.float32)

@@ -763,3 +763,200 @@ class TestSunDTrajectory:
         }}}
         assert_trees_close({"params": state.params}, final,
                            rtol=5e-3, atol=2e-5, what="sun-d final state")
+
+
+class TestSunTrajectory:
+    """Phase 2 SUN offline token-label distillation
+    (sun_meta_training/offline.py): AdamW(lr x bs/512, wd on every param) +
+    timm CosineLRScheduler stepped ``step(epoch-1)`` (:229-231, :372), loss =
+    cls CE + LITERALLY 0.5 x token soft-target CE (:300 — the config's
+    ``tl_weight`` is computed at :236 but the step hardcodes 0.5), teacher
+    frozen in eval with ``generate_softlabel`` top-k + background assignment
+    (:57-76, :289-290).
+
+    The torch side runs the REAL ``TokenLabelOffline`` forward,
+    ``generate_softlabel``, and ``SoftTargetCrossEntropy`` from offline.py /
+    token_label.py around the tiny BN-free twin encoder; the loop body is the
+    :262-303 step transcribed. generate_softlabel's ``device`` defaults to
+    'cuda' — passed 'cpu' here (a device pin, not math).
+
+    One evident reference defect is fixed EXTERNALLY for the comparison
+    (the round-3 waiver pattern): ``offline.py:71`` scatters background
+    tokens onto real class 1 instead of the background class C, because
+    ``bg_map`` is filled with the squeezed max-channel dim (=1), not
+    ``n_classes`` — proof by execution in
+    test_ops.py::TestSoftLabel::test_reference_bg_label_defect_proof. The
+    port labels them class C (the evident intent of the (C+1)-wide label
+    space and the ``n_classes+1`` classifier_local); ``_fixed_softlabel``
+    moves exactly that one index per bg row on the reference's own output."""
+
+    C, BATCH, STEPS, EPOCHS, IMG, DIM = 6, 16, 3, 3, 20, 8
+    LR, WD, WARMUP, WARMUP_LR = 4e-3, 0.05, 1, 1e-6
+    SOFT_K, BP = 3, 10
+
+    def _twin(self, seed):
+        import torch
+        import torch.nn as nn
+
+        class Twin(nn.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.seq = TinySunTorchEncoder.build(dim)
+                self.out_dim = dim
+
+            def forward(self, x):
+                d = self.seq(x)
+                return d, d.mean((2, 3))
+
+        torch.manual_seed(seed)
+        return Twin(self.DIM)
+
+    def _token_label_model(self, seed):
+        """The REAL TokenLabelOffline (token_label.py:36-60) around the twin,
+        built via __new__ (its ctor routes encoders through the registry)."""
+        import torch
+
+        tl_mod, _ = ref_loader.load_phase_model_module(
+            "sun_meta_training", "token_label")
+        m = tl_mod.TokenLabelOffline.__new__(tl_mod.TokenLabelOffline)
+        torch.nn.Module.__init__(m)
+        m.encoder = self._twin(seed)
+        torch.manual_seed(seed + 100)
+        m.classifier = tl_mod.LinearClassifier(self.DIM, self.C)
+        m.classifier_local = tl_mod.LinearClassifier(self.DIM, self.C + 1)
+        return m
+
+    def _to_flax_variables(self, m):
+        from fewshot_vit_tpu.checkpoint.torch_convert import conv_t2j
+
+        sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+        lin = lambda p: {"linear": {"kernel": sd[f"{p}.linear.weight"].T.copy(),
+                                    "bias": sd[f"{p}.linear.bias"]}}
+        return {"params": {
+            "encoder": {
+                "c1": {"kernel": jnp.asarray(conv_t2j(sd["encoder.seq.0.weight"])),
+                       "bias": jnp.asarray(sd["encoder.seq.0.bias"])},
+                "c2": {"kernel": jnp.asarray(conv_t2j(sd["encoder.seq.2.weight"])),
+                       "bias": jnp.asarray(sd["encoder.seq.2.bias"])},
+            },
+            "classifier": lin("classifier"),
+            "classifier_local": lin("classifier_local"),
+        }}
+
+    def _fixed_softlabel(self, off, logits_token_t):
+        """REAL generate_softlabel + the evident one-line fix applied to its
+        OUTPUT: bg rows (exactly one on-value, at index 1 — the :71 defect)
+        get that on-value moved to the background class C."""
+        import torch
+
+        soft = off.generate_softlabel(logits_token_t, k=self.SOFT_K,
+                                      bp=self.BP, device="cpu")
+        c = logits_token_t.size(1)
+        on_count = (soft > 0.5).sum(1)
+        bg_rows = on_count == 1  # fg rows carry SOFT_K on-values
+        soft = soft.clone()
+        off_v = 0.1 / c
+        soft[bg_rows, 1] = off_v
+        soft[bg_rows, c] = 1 - 0.1 + off_v
+        return soft
+
+    def test_torch_vs_jax(self):
+        import torch
+        import torch.nn.functional as F
+
+        off = ref_loader.load_sun_offline()
+        from timm.optim import AdamW
+        from timm.scheduler import CosineLRScheduler
+
+        student_t = self._token_label_model(seed=3)
+        teacher_t = self._token_label_model(seed=7)
+        teacher_t.eval()
+
+        images, labels = class_images(self.C, 24, self.IMG, seed=13)
+        rng = np.random.default_rng(23)
+        idx = np.stack([
+            rng.permutation(len(images))[: self.STEPS * self.BATCH]
+            for _ in range(self.EPOCHS)
+        ]).reshape(self.EPOCHS, self.STEPS, self.BATCH).astype(np.int32)
+
+        # --- reference loop (offline.py:225-231, 262-303, 371-372) ---
+        lr = self.LR * (self.BATCH / 512)
+        optimizer = AdamW(student_t.parameters(), betas=(0.9, 0.999),
+                          eps=1e-8, lr=lr, weight_decay=self.WD)
+        lr_scheduler = CosineLRScheduler(
+            optimizer, warmup_lr_init=self.WARMUP_LR, t_initial=self.EPOCHS,
+            cycle_decay=0.1, warmup_t=self.WARMUP)
+        criterion_TL = off.SoftTargetCrossEntropy()
+        t_losses, t_lrs = [], []
+        for epoch in range(1, self.EPOCHS + 1):
+            student_t.train()
+            t_lrs.append(optimizer.param_groups[0]["lr"])
+            for step in range(self.STEPS):
+                b = idx[epoch - 1, step]
+                data = to_torch_batch(images[b])
+                label = torch.from_numpy(labels[b])
+                logits_token, logits, _ = student_t(data)
+                cls_loss = F.cross_entropy(logits, label)
+                with torch.no_grad():
+                    logits_token_t, _, _ = teacher_t(data, True)
+                    soft_label = self._fixed_softlabel(off, logits_token_t)
+                _, c, _, _ = logits_token_t.size()
+                logits_flatten = logits_token.permute(0, 2, 3, 1).reshape(-1, c + 1)
+                token_loss = criterion_TL(logits_flatten, soft_label)
+                loss = cls_loss + 0.5 * token_loss
+                optimizer.zero_grad()
+                loss.backward()
+                optimizer.step()
+                t_losses.append(loss.item())
+            lr_scheduler.step(epoch - 1)
+
+        # --- framework side: same weights, same batches ---
+        from fewshot_vit_tpu.core import Config
+        from fewshot_vit_tpu.heads import TokenLabel
+        from fewshot_vit_tpu.train.runner import build_optimizer
+        from fewshot_vit_tpu.train.state import TrainState
+        from fewshot_vit_tpu.train.steps import make_sun_step
+
+        student = TokenLabel(encoder=tiny_sun_flax_encoder(self.DIM),
+                             n_classes=self.C)
+        teacher = TokenLabel(encoder=tiny_sun_flax_encoder(self.DIM),
+                             n_classes=self.C)
+        variables = self._to_flax_variables(self._token_label_model(seed=3))
+        tvars = self._to_flax_variables(self._token_label_model(seed=7))
+
+        cfg = Config({
+            "optimizer": "adamw", "max_epoch": self.EPOCHS,
+            "optimizer_args": {
+                "lr": self.LR, "scale_lr_by_batch": True,
+                "weight_decay": self.WD, "schedule": "cosine",
+                "warmup_epochs": self.WARMUP, "warmup_lr": self.WARMUP_LR,
+            },
+        })
+        tx = build_optimizer(cfg, variables["params"], self.STEPS, self.BATCH)
+        state = TrainState.create(variables, tx)
+        step_fn = make_sun_step(student, teacher, tx, soft_k=self.SOFT_K,
+                                bg_tokens=self.BP, token_weight=0.5,
+                                mean=MEAN, std=STD)
+
+        images_j = jnp.asarray(images)
+        labels_j = jnp.asarray(labels.astype(np.int32))
+        j_losses = []
+        for epoch in range(1, self.EPOCHS + 1):
+            for step in range(self.STEPS):
+                b = jnp.asarray(idx[epoch - 1, step])
+                state, m = step_fn(state, tvars, images_j[b], images_j[b],
+                                   labels_j[b], jax.random.key(epoch * 10 + step))
+                j_losses.append(float(m["loss"]))
+
+        np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, atol=2e-4)
+
+        from fewshot_vit_tpu.train.optim import timm_cosine_schedule
+
+        s = timm_cosine_schedule(lr, self.STEPS, self.EPOCHS,
+                                 self.WARMUP, self.WARMUP_LR)
+        j_lrs = [float(s(e * self.STEPS)) for e in range(self.EPOCHS)]
+        np.testing.assert_allclose(j_lrs, t_lrs, rtol=1e-6)
+
+        final = self._to_flax_variables(student_t)
+        # AdamW normalized-update noise bound (see assert_final_state_close)
+        assert_final_state_close(state, final, "sun", params_atol=2e-3)

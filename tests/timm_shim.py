@@ -297,6 +297,30 @@ def install():
     data = types.ModuleType("timm.data")
     data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
     data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+    def create_transform(*a, **k):  # dataset modules import it at module
+        raise NotImplementedError(   # scope; trajectory tests feed tensors
+            "timm_shim.create_transform is import-only")
+
+    data.create_transform = create_transform
+    data_transforms = types.ModuleType("timm.data.transforms")
+
+    class RandomResizedCropAndInterpolation:  # import-only (see above)
+        def __init__(self, *a, **k):
+            raise NotImplementedError("timm_shim transform is import-only")
+
+    data_transforms.RandomResizedCropAndInterpolation = RandomResizedCropAndInterpolation
+    data.transforms = data_transforms
+    auto_augment = types.ModuleType("timm.data.auto_augment")
+
+    def rand_augment_transform(*a, **k):  # import-only
+        raise NotImplementedError("timm_shim transform is import-only")
+
+    auto_augment.rand_augment_transform = rand_augment_transform
+    data.auto_augment = auto_augment
+    random_erasing = types.ModuleType("timm.data.random_erasing")
+    random_erasing.RandomErasing = RandomResizedCropAndInterpolation  # import-only
+    data.random_erasing = random_erasing
     models_m = types.ModuleType("timm.models")
     def build_model_with_cfg(model_cls, variant, pretrained, **kwargs):
         assert not pretrained, "timm shim: no pretrained weights"
@@ -332,7 +356,10 @@ def install():
     optim.AdamW = torch.optim.AdamW
 
     for name, mod in [
-        ("timm", timm), ("timm.data", data), ("timm.models", models_m),
+        ("timm", timm), ("timm.data", data),
+        ("timm.data.transforms", data_transforms),
+        ("timm.data.auto_augment", auto_augment),
+        ("timm.data.random_erasing", random_erasing), ("timm.models", models_m),
         ("timm.models.helpers", helpers), ("timm.models.layers", layers),
         ("timm.models.registry", registry),
         ("timm.models.vision_transformer", vit), ("timm.models.resnet", resnet_m),
