@@ -133,10 +133,12 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
     Task batching (the reference accumulates loss/bs over bs iterations and
     steps every bs, ``train_meta.py:166-177``). ``grad_accum=False`` vmaps the
     bs episodes concurrently (fastest); ``grad_accum=True`` scans them
-    sequentially with summed gradients — identical math (the loss is a mean of
-    per-episode losses), activation memory of ONE episode. A grid episode is
-    way*(shot+query)*13 patch images, so vmapped bs>1 can exceed HBM at full
-    query counts.
+    sequentially with summed gradients — identical math INCLUDING the
+    per-episode ``detect_grad_nan`` accumulated-buffer rule (both modes keep
+    exactly the post-last-NaN suffix of episode gradients per tensor;
+    ``tests/test_train.py::TestEmdTaskBatching``), activation memory of ONE
+    episode. A grid episode is way*(shot+query)*13 patch images, so vmapped
+    bs>1 can exceed HBM at full query counts.
     """
 
     def epoch_fn_inner(state, images, idx, rng):
@@ -186,17 +188,37 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
                 loss, acc = loss * inv, acc * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             else:
-                def loss_fn(params):
-                    losses, logits = jax.vmap(
-                        lambda idx_e, key_e: ep_loss(params, idx_e, key_e)
-                    )(idx_b, ep_keys)
-                    acc = jnp.mean(
-                        (jnp.argmax(logits, -1) == labels[None]).astype(jnp.float32)
-                    )
-                    return losses.mean(), acc
+                def ep_grad(idx_e, key_e):
+                    (loss_e, logits_e), g_e = jax.value_and_grad(
+                        ep_loss, has_aux=True)(state.params, idx_e, key_e)
+                    acc_e = jnp.mean(
+                        (jnp.argmax(logits_e, -1) == labels).astype(jnp.float32))
+                    return loss_e, acc_e, g_e
 
-                (loss, acc), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
+                losses, accs, grads_all = jax.vmap(ep_grad)(idx_b, ep_keys)
+                loss, acc = losses.mean(), accs.mean()
+
+                # The reference's per-episode detect_grad_nan on the
+                # ACCUMULATED buffer (train_meta.py:174) in closed form: the
+                # accumulator is always finite entering episode e (it was
+                # zeroed if NaN), so it gets reset exactly at the episodes
+                # whose OWN grad tensor contains NaN — the final buffer is
+                # the sum of the suffix after the LAST such episode. That
+                # order-dependent recurrence therefore vectorizes as a
+                # reversed-cummax mask over per-episode NaN flags, keeping
+                # the update identical to grad_accum=True (tested) while the
+                # gradient reduction stays a plain masked mean — episode-
+                # parallel `mesh:` sharding still psums, no gather of
+                # per-episode grads.
+                def masked_mean(g):  # (bs, *shape)
+                    nan_e = jnp.any(jnp.isnan(g.reshape(ep_per_batch, -1)),
+                                    axis=1)  # (bs,)
+                    keep = jnp.cumsum(nan_e[::-1])[::-1] == 0  # no NaN at/after e
+                    g = jnp.where(jnp.isnan(g), 0.0, g)  # excluded eps only
+                    k = keep.reshape((ep_per_batch,) + (1,) * (g.ndim - 1))
+                    return jnp.sum(g * k, axis=0) / ep_per_batch
+
+                grads = jax.tree_util.tree_map(masked_mean, grads_all)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return state.replace(step=state.step + 1, params=params,

@@ -71,7 +71,6 @@ def timm_cosine_schedule(
     warmup_epochs: int = 0,
     warmup_lr: float = 1e-6,
     lr_min: float = 0.0,
-    cycle_decay: float = 0.1,
 ) -> optax.Schedule:
     """timm ``CosineLRScheduler(t_initial=epochs, warmup_t, warmup_lr_init,
     cycle_decay, cycle_limit=1, warmup_prefix=False, t_in_epochs=True)`` under

@@ -552,6 +552,58 @@ class TestTaskBatching:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_nan_episode_rule_matches_reference_both_modes(self):
+        """``detect_grad_nan`` (Models/utils.py:115-118) runs on the
+        ACCUMULATED buffer after every episode (train_meta.py:174): a NaN
+        episode wipes all PRIOR episodes' contributions to that tensor, and
+        later episodes' survive — the final gradient is the suffix after the
+        LAST NaN episode. Both task-batch modes must implement exactly that
+        (the vmapped path via the closed-form reversed-cummax mask)."""
+        import optax
+
+        from fewshot_vit_tpu.train.meta_tune_emd import make_emd_epoch_fn
+        from fewshot_vit_tpu.train.state import TrainState
+
+        way, query, epb = 2, 2, 4
+        labels = jnp.tile(jnp.arange(way), query)
+        base = jnp.tile(jnp.arange(way, dtype=jnp.float32)[None],
+                        (way * query, 1))
+
+        def episode_fn(variables, imgs, key):
+            # marker pixel 255 -> this episode's logits (hence grads) go NaN
+            p = variables["params"]["w"]
+            marker = imgs[0, 0, 0, 0].astype(jnp.float32)
+            bad = jnp.where(marker == 255.0, jnp.nan, 1.0)
+            return p * bad * base
+
+        images = np.zeros((2, 4, 4, 3), np.uint8)
+        images[0] = 255  # image 0 = NaN marker, image 1 = clean
+        images = jnp.asarray(images)
+        lr = 0.5
+        ep_len = way * (1 + query)
+
+        def f(p):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                (p * base).astype(jnp.float32), labels).mean()
+
+        g1 = float(jax.grad(f)(jnp.float32(1.0)))  # one clean episode's grad
+        assert g1 != 0.0
+
+        # (NaN episode indices, surviving suffix length)
+        for nan_eps, n_keep in [((), 4), ((1,), 2), ((3,), 0), ((0, 2), 1)]:
+            rows = [[0 if e in nan_eps else 1] * ep_len for e in range(epb)]
+            idx = jnp.asarray(np.asarray(rows, np.int32)[None])  # (1, E, L)
+            for accum in (False, True):
+                tx = optax.sgd(lr)
+                state = TrainState.create({"params": {"w": jnp.float32(1.0)}}, tx)
+                ep = make_emd_epoch_fn(episode_fn, tx, labels, epb,
+                                       grad_accum=accum)
+                state, _ = ep(state, images, idx, jax.random.key(0))
+                want = 1.0 - lr * (n_keep * g1 / epb)
+                got = float(state.params["w"])
+                assert got == pytest.approx(want, rel=1e-5, abs=1e-7), (
+                    nan_eps, accum, got, want)
+
     def test_remat_identical_losses_and_params(self):
         """`remat: true` (jax.checkpoint around the encoder, the HBM lever
         that lets a VMAPPED task batch fit) must be a pure memory/FLOPs trade:
