@@ -126,7 +126,8 @@ def make_emd_episode_fn(
     return fn
 
 
-def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
+def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False,
+                      mesh=None):
     """jit: (state, images u8, idx (S, E, way*(shot+query)) interleaved, rng)
     -> (state, metrics).
 
@@ -139,7 +140,28 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
     ``tests/test_train.py::TestEmdTaskBatching``), activation memory of ONE
     episode. A grid episode is way*(shot+query)*13 patch images, so vmapped
     bs>1 can exceed HBM at full query counts.
+
+    ``mesh``: pass the episode-parallel mesh (the one the caller shards ``idx``
+    over) and the vmapped path runs under ``jax.shard_map`` on its ``data``
+    axis: each chip takes its contiguous episode block, computes per-episode
+    grads locally, all-gathers only the (n_tensors, bs) NaN-flag bitmap, and
+    psums the masked episode sums. Relying on GSPMD propagation instead does
+    the wrong thing here: vmap-of-grad lowers per-episode weight grads to
+    GROUPED convolutions (episodes -> feature groups), which the partitioner
+    replicates — all-gathering every chip's episode images (caught by
+    ``tests/test_hlo_collectives.py``).
+
+    NaN-rule caveat shared by both vmapped variants: they reproduce the
+    reference recurrence assuming the accumulated buffer first goes NaN at an
+    episode whose OWN grad has NaN. A ±inf cancellation ACROSS episodes
+    (finite per-episode grads, NaN only in their running sum) is sequential-
+    order-dependent and cannot be vectorized; ``grad_accum=True`` is the
+    bit-exact-reference mode for that pathology.
     """
+    if mesh is not None and not grad_accum and ep_per_batch % mesh.shape["data"]:
+        raise ValueError(
+            f"bs={ep_per_batch} must divide evenly over the mesh data axis "
+            f"({mesh.shape['data']})")
 
     def epoch_fn_inner(state, images, idx, rng):
         def body(state, scan_in):
@@ -188,15 +210,14 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
                 loss, acc = loss * inv, acc * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             else:
-                def ep_grad(idx_e, key_e):
+                def ep_grad(idx_e, key_e, params=None):
                     (loss_e, logits_e), g_e = jax.value_and_grad(
-                        ep_loss, has_aux=True)(state.params, idx_e, key_e)
+                        ep_loss, has_aux=True)(
+                            state.params if params is None else params,
+                            idx_e, key_e)
                     acc_e = jnp.mean(
                         (jnp.argmax(logits_e, -1) == labels).astype(jnp.float32))
                     return loss_e, acc_e, g_e
-
-                losses, accs, grads_all = jax.vmap(ep_grad)(idx_b, ep_keys)
-                loss, acc = losses.mean(), accs.mean()
 
                 # The reference's per-episode detect_grad_nan on the
                 # ACCUMULATED buffer (train_meta.py:174) in closed form: the
@@ -205,20 +226,79 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False):
                 # whose OWN grad tensor contains NaN — the final buffer is
                 # the sum of the suffix after the LAST such episode. That
                 # order-dependent recurrence therefore vectorizes as a
-                # reversed-cummax mask over per-episode NaN flags, keeping
-                # the update identical to grad_accum=True (tested) while the
-                # gradient reduction stays a plain masked mean — episode-
-                # parallel `mesh:` sharding still psums, no gather of
-                # per-episode grads.
-                def masked_mean(g):  # (bs, *shape)
-                    nan_e = jnp.any(jnp.isnan(g.reshape(ep_per_batch, -1)),
-                                    axis=1)  # (bs,)
-                    keep = jnp.cumsum(nan_e[::-1])[::-1] == 0  # no NaN at/after e
-                    g = jnp.where(jnp.isnan(g), 0.0, g)  # excluded eps only
-                    k = keep.reshape((ep_per_batch,) + (1,) * (g.ndim - 1))
-                    return jnp.sum(g * k, axis=0) / ep_per_batch
+                # reversed-cumsum mask over per-episode NaN flags, keeping
+                # the update identical to grad_accum=True (tested).
+                def suffix_keep(nan_flags):
+                    # (..., bs) bool -> True where no NaN at/after that episode
+                    return jnp.cumsum(
+                        nan_flags[..., ::-1].astype(jnp.int32), axis=-1
+                    )[..., ::-1] == 0
 
-                grads = jax.tree_util.tree_map(masked_mean, grads_all)
+                if mesh is None:
+                    losses, accs, grads_all = jax.vmap(ep_grad)(idx_b, ep_keys)
+                    loss, acc = losses.mean(), accs.mean()
+
+                    def masked_mean(g):  # (bs, *shape)
+                        nan_e = jnp.any(
+                            jnp.isnan(g.reshape(ep_per_batch, -1)), axis=1)
+                        k = suffix_keep(nan_e).reshape(
+                            (ep_per_batch,) + (1,) * (g.ndim - 1))
+                        # where, not multiply: a wholesale-dropped episode may
+                        # carry inf entries, and inf * 0 would mint new NaNs
+                        return jnp.sum(jnp.where(k, g, 0), axis=0) / ep_per_batch
+
+                    grads = jax.tree_util.tree_map(masked_mean, grads_all)
+                else:
+                    from jax.sharding import PartitionSpec as P
+
+                    bs_loc = ep_per_batch // mesh.shape["data"]
+
+                    def local_grads(idx_loc, keys_loc):
+                        # manual over `data`: this chip's contiguous episode
+                        # block, grads stay chip-local end to end.
+                        # pcast-to-varying first: params captured from outside
+                        # the manual region are device-invariant over `data`,
+                        # and AD keeps cotangents of invariant values invariant
+                        # by auto-psumming them — grad would silently come
+                        # back as the GLOBAL episode sum on every chip,
+                        # destroying the per-episode NaN structure (and
+                        # double-counting through the explicit psum below).
+                        p_loc = jax.tree_util.tree_map(
+                            lambda t: jax.lax.pcast(t, "data", to="varying"),
+                            state.params)
+                        losses, accs, g = jax.vmap(
+                            lambda i, kk: ep_grad(i, kk, params=p_loc)
+                        )(idx_loc, keys_loc)
+                        leaves, treedef = jax.tree_util.tree_flatten(g)
+                        flags = jnp.stack([
+                            jnp.any(jnp.isnan(t.reshape(bs_loc, -1)), axis=1)
+                            for t in leaves])  # (n_tensors, bs_loc)
+                        # the only gathered buffer: (n_tensors, bs) of bools
+                        flags = jax.lax.all_gather(
+                            flags, "data", axis=1, tiled=True)
+                        keep = suffix_keep(flags)  # (n_tensors, bs) global
+                        i0 = jax.lax.axis_index("data") * bs_loc
+                        keep_loc = jax.lax.dynamic_slice_in_dim(
+                            keep, i0, bs_loc, 1)
+                        masked = [
+                            jnp.sum(jnp.where(
+                                keep_loc[i].reshape(
+                                    (bs_loc,) + (1,) * (t.ndim - 1)), t, 0),
+                                axis=0)
+                            for i, t in enumerate(leaves)]
+                        gsum = jax.tree_util.tree_unflatten(treedef, masked)
+                        grads = jax.tree_util.tree_map(
+                            lambda t: jax.lax.psum(t, "data") / ep_per_batch,
+                            gsum)
+                        return (jax.lax.pmean(losses.mean(), "data"),
+                                jax.lax.pmean(accs.mean(), "data"), grads)
+
+                    loss, acc, grads = jax.shard_map(
+                        local_grads, mesh=mesh,
+                        in_specs=(P("data"), P("data")),
+                        out_specs=(P(), P(), P()),
+                        axis_names=frozenset({"data"}),
+                    )(idx_b, ep_keys)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return state.replace(step=state.step + 1, params=params,
@@ -358,6 +438,7 @@ def main(cfg, args) -> TrainState:
     epoch_fn = make_emd_epoch_fn(
         episode_fn, tx, labels, ep_per_batch,
         grad_accum=bool(cfg.get("grad_accum", False)),
+        mesh=mesh if mesh_cfg else None,
     )
 
     # eval episode program (interleaved, fixed patch ratio, SFC in eval as ref)

@@ -557,12 +557,19 @@ class TestTaskBatching:
         ACCUMULATED buffer after every episode (train_meta.py:174): a NaN
         episode wipes all PRIOR episodes' contributions to that tensor, and
         later episodes' survive — the final gradient is the suffix after the
-        LAST NaN episode. Both task-batch modes must implement exactly that
-        (the vmapped path via the closed-form reversed-cummax mask)."""
+        LAST NaN episode. All three task-batch modes must implement exactly
+        that: grad_accum (the literal recurrence), vmapped (closed-form
+        reversed-cumsum mask), and mesh episode-parallel (shard_map: local
+        grads + all-gathered NaN bitmap + psum of the masked sums)."""
         import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from fewshot_vit_tpu.parallel import make_mesh
         from fewshot_vit_tpu.train.meta_tune_emd import make_emd_epoch_fn
         from fewshot_vit_tpu.train.state import TrainState
+
+        mesh = (make_mesh({"data": 4}, jax.devices()[:4])
+                if len(jax.devices()) >= 4 else None)
 
         way, query, epb = 2, 2, 4
         labels = jnp.tile(jnp.arange(way), query)
@@ -593,16 +600,25 @@ class TestTaskBatching:
         for nan_eps, n_keep in [((), 4), ((1,), 2), ((3,), 0), ((0, 2), 1)]:
             rows = [[0 if e in nan_eps else 1] * ep_len for e in range(epb)]
             idx = jnp.asarray(np.asarray(rows, np.int32)[None])  # (1, E, L)
-            for accum in (False, True):
+            modes = [("vmapped", False, None), ("accum", True, None)]
+            if mesh is not None:
+                modes.append(("mesh", False, mesh))
+            for mode, accum, m in modes:
                 tx = optax.sgd(lr)
                 state = TrainState.create({"params": {"w": jnp.float32(1.0)}}, tx)
                 ep = make_emd_epoch_fn(episode_fn, tx, labels, epb,
-                                       grad_accum=accum)
-                state, _ = ep(state, images, idx, jax.random.key(0))
+                                       grad_accum=accum, mesh=m)
+                imgs_m, idx_m = images, idx
+                if m is not None:
+                    state = jax.device_put(state, NamedSharding(m, P()))
+                    imgs_m = jax.device_put(images, NamedSharding(m, P()))
+                    idx_m = jax.device_put(idx,
+                                           NamedSharding(m, P(None, "data", None)))
+                state, _ = ep(state, imgs_m, idx_m, jax.random.key(0))
                 want = 1.0 - lr * (n_keep * g1 / epb)
                 got = float(state.params["w"])
                 assert got == pytest.approx(want, rel=1e-5, abs=1e-7), (
-                    nan_eps, accum, got, want)
+                    nan_eps, mode, got, want)
 
     def test_remat_identical_losses_and_params(self):
         """`remat: true` (jax.checkpoint around the encoder, the HBM lever
@@ -678,6 +694,7 @@ class TestMeshEmdTrain:
 
         def run(shard):
             vs = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+            mesh = None
             if shard:
                 mesh = make_mesh({"data": 8})
                 vs = jax.device_put(vs, NamedSharding(mesh, P()))
@@ -687,7 +704,8 @@ class TestMeshEmdTrain:
             else:
                 im, ix = jnp.asarray(images), jnp.asarray(idx)
             state = TrainState.create(vs, tx)
-            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb, grad_accum=False)
+            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb,
+                                   grad_accum=False, mesh=mesh)
             state, ms = ep(state, im, ix, jax.random.key(1))
             return (np.asarray(ms["loss"]), np.asarray(ms["acc"]),
                     jax.tree_util.tree_leaves(jax.device_get(state.params)))
@@ -728,13 +746,15 @@ class TestMeshEmdTrain:
         def run(shard):
             vs = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
             im, ix = jnp.asarray(images), jnp.asarray(idx)
+            mesh = None
             if shard:
                 mesh = make_mesh({"data": 8})
                 vs = jax.device_put(vs, NamedSharding(mesh, P()))
                 im = jax.device_put(im, NamedSharding(mesh, P()))
                 ix = jax.device_put(ix, NamedSharding(mesh, P(None, "data", None)))
             state = TrainState.create(vs, tx)
-            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb, grad_accum=False)
+            ep = make_emd_epoch_fn(episode_fn, tx, labels, epb,
+                                   grad_accum=False, mesh=mesh)
             state, ms = ep(state, im, ix, jax.random.key(2))
             return (np.asarray(ms["loss"]),
                     jax.tree_util.tree_leaves(jax.device_get(state.params)))

@@ -237,7 +237,11 @@ class TestEpisodeParallelPrograms:
         vs = jax.device_put(variables, NamedSharding(mesh, P()))
         tx = optax.sgd(1e-2, momentum=0.9)
         state = TrainState.create(vs, tx)
-        epoch_fn = make_emd_epoch_fn(episode_fn, tx, labels, epb)
+        # mesh= is how the CLI wires episode parallelism: it constrains the
+        # per-episode grads to P("data") so the weight-grad convs stay
+        # chip-local (without it GSPMD replicates them, gathering the episode
+        # image batch — this test is what catches that)
+        epoch_fn = make_emd_epoch_fn(episode_fn, tx, labels, epb, mesh=mesh)
         hlo = compiled_hlo(epoch_fn, state, images_d, idx_d, jax.random.key(3))
         assert_data_parallel_contract(hlo, images.nbytes, "sund epoch")
 
