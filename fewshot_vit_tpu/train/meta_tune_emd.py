@@ -137,7 +137,7 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False,
     sequentially with summed gradients — identical math INCLUDING the
     per-episode ``detect_grad_nan`` accumulated-buffer rule (both modes keep
     exactly the post-last-NaN suffix of episode gradients per tensor;
-    ``tests/test_train.py::TestEmdTaskBatching``), activation memory of ONE
+    ``tests/test_deepemd.py::TestTaskBatching``), activation memory of ONE
     episode. A grid episode is way*(shot+query)*13 patch images, so vmapped
     bs>1 can exceed HBM at full query counts.
 
@@ -158,10 +158,23 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False,
     order-dependent and cannot be vectorized; ``grad_accum=True`` is the
     bit-exact-reference mode for that pathology.
     """
-    if mesh is not None and not grad_accum and ep_per_batch % mesh.shape["data"]:
-        raise ValueError(
-            f"bs={ep_per_batch} must divide evenly over the mesh data axis "
-            f"({mesh.shape['data']})")
+    if mesh is not None:
+        if grad_accum:
+            raise ValueError(
+                "mesh episode parallelism shards the vmapped task batch; it "
+                "is incompatible with grad_accum=True (sequential episodes) — "
+                "running the scan over a sharded mesh would reintroduce the "
+                "replicated-grouped-conv image gather this path exists to "
+                "prevent")
+        if "data" not in mesh.shape:
+            raise ValueError(
+                f"mesh {dict(mesh.shape)} has no 'data' axis — SUN-D episode "
+                "parallelism shards the task batch over a data axis "
+                "(e.g. mesh: {data: 8})")
+        if ep_per_batch % mesh.shape["data"]:
+            raise ValueError(
+                f"bs={ep_per_batch} must divide evenly over the mesh data "
+                f"axis ({mesh.shape['data']})")
 
     def epoch_fn_inner(state, images, idx, rng):
         def body(state, scan_in):

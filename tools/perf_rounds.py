@@ -18,6 +18,11 @@ config means adding a new column, never silently redefining one):
     dataset encode, min-of-3 timings (episodes/s).
   * ``sund_train_eps_s``   — SUN-D grid training step, bf16 encoder, bs=4
     ``grad_accum``, 4-step epoch-scan, min-of-6 (episodes/s).
+  * ``sund_train_vmap_eps_s`` — same shapes on the VMAPPED task-batch path
+    (bs=1, ``grad_accum: false`` — the config DEFAULT, and the branch the
+    mesh episode parallelism runs), 16-step epoch-scan, min-of-6
+    (episodes/s). Added r4 when that branch was rewritten (vmap-of-grad +
+    NaN suffix mask); earlier rows are n/a.
   * ``phase1_img_s``       — phase-1 CE + on-device cropaug, bf16,
     batch 512, 10-step epoch-scan, min-of-8 (img/s).
 
@@ -45,7 +50,7 @@ ROWS_PATH = os.path.join(
     "PERF_ROUNDS.jsonl",
 )
 METRICS = ("sunm_eval_eps_s", "sund_cached_eval_eps_s", "sund_train_eps_s",
-           "phase1_img_s")
+           "sund_train_vmap_eps_s", "phase1_img_s")
 
 
 def measure_sund_cached_eval(repeats: int = 3) -> float:
@@ -86,8 +91,9 @@ def measure_sund_cached_eval(repeats: int = 3) -> float:
         make_emd_cached_episode_fn(head, way, shot, sfc=False), labels)
     grouped = group_episode_indices(idx, 16)
     # group_episode_indices pads 200 episodes to 13 full groups of 16 = 208;
-    # the timed run executes ALL of them, so divide by the padded count (the
-    # r4 row was recorded with the 200 divisor and is ~3.8% understated).
+    # the timed run executes ALL of them, so divide by the padded count. The
+    # r1-r3 backfilled rows used the 200 divisor (~3.8% understated, see the
+    # r4 row's note); the r4 row itself was re-measured with this arithmetic.
     n_executed = grouped.shape[0] * grouped.shape[1]
     idx_dev = jax.device_put(jnp.asarray(grouped))
     key = rng_mod.root_key(0)
@@ -101,7 +107,8 @@ def measure_sund_cached_eval(repeats: int = 3) -> float:
     return n_executed / min(times)
 
 
-def measure_sund_train(repeats: int = 6, steps: int = 4) -> float:
+def measure_sund_train(repeats: int = 6, steps: int = 4, bs: int = 4,
+                       grad_accum: bool = True) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -116,7 +123,7 @@ def measure_sund_train(repeats: int = 6, steps: int = 4) -> float:
     )
     from fewshot_vit_tpu.train.state import TrainState
 
-    way, shot, query, bs = 5, 1, 15, 4
+    way, shot, query = 5, 1, 15
     ds = datasets.make("synthetic", n_classes=20, n_per_class=200,
                        image_size=80, seed=0)
     images_dev = jax.device_put(ds.images)
@@ -138,7 +145,8 @@ def measure_sund_train(repeats: int = 6, steps: int = 4) -> float:
     state = TrainState.create(variables, tx)
     episode_fn = make_emd_episode_fn(head, way, shot, query, patch_fn,
                                      ds.mean, ds.std, sfc=False, train=True)
-    epoch_fn = make_emd_epoch_fn(episode_fn, tx, labels, bs, grad_accum=True)
+    epoch_fn = make_emd_epoch_fn(episode_fn, tx, labels, bs,
+                                 grad_accum=grad_accum)
     idx_dev = jnp.asarray(idx)
     key = rng_mod.root_key(0)
     state, ms = epoch_fn(state, images_dev, idx_dev, key)
@@ -206,8 +214,8 @@ def render_table() -> str:
         with open(ROWS_PATH) as f:
             rows = [json.loads(l) for l in f if l.strip()]
     header = ("| round | date | SUN-M eval eps/s | SUN-D cached eval eps/s "
-              "| SUN-D train eps/s | phase-1 img/s |\n"
-              "|---|---|---|---|---|---|")
+              "| SUN-D train eps/s | SUN-D vmap train eps/s | phase-1 img/s |\n"
+              "|---|---|---|---|---|---|---|")
     lines = [header]
     for r in rows:
         cells = [str(r.get("round", "?")), str(r.get("date", ""))]
@@ -259,6 +267,9 @@ def main():
     print(f"sund_cached_eval_eps_s = {row['sund_cached_eval_eps_s']}", flush=True)
     row["sund_train_eps_s"] = round(measure_sund_train(), 2)
     print(f"sund_train_eps_s       = {row['sund_train_eps_s']}", flush=True)
+    row["sund_train_vmap_eps_s"] = round(
+        measure_sund_train(steps=16, bs=1, grad_accum=False), 2)
+    print(f"sund_train_vmap_eps_s  = {row['sund_train_vmap_eps_s']}", flush=True)
     row["phase1_img_s"] = round(measure_phase1(), 0)
     print(f"phase1_img_s           = {row['phase1_img_s']}", flush=True)
     with open(ROWS_PATH, "a") as f:
