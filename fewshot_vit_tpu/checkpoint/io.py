@@ -216,3 +216,33 @@ def load_reference_head_checkpoint(
 
     sd, _ = load_torch_state_dict(path)
     return convert_by_rule(flax_variables, sd, head_key_fn(encoder_key_fn))
+
+
+def encoder_key_fn_for(encoder_name: str) -> Callable:
+    """Torch key rule for a registered encoder name (visformer rule when the
+    name is unregistered — a wrong pick fails loudly in ``convert_by_rule``)."""
+    from .torch_convert import ENCODER_KEY_FNS, visformer_key
+
+    return ENCODER_KEY_FNS.get(encoder_name, visformer_key)
+
+
+def load_reference_encoder_checkpoint(
+    path: str,
+    target_encoder_vars: Any,
+    encoder_key_fn: Callable = None,
+) -> Any:
+    """Convert ONLY the encoder subtree of a reference checkpoint (.pth).
+
+    The reference's ``load_encoder`` loads a full saved model and keeps
+    ``.encoder``, discarding head params and ``temp``
+    (``meta_tuning_sun_m/train_meta.py:124-125``); this is that rule through
+    the torch converter: keys under ``encoder.`` convert into
+    ``target_encoder_vars``, everything else is ignored. A state dict with no
+    ``encoder.`` nesting is treated as a bare-encoder checkpoint."""
+    from .torch_convert import convert_by_rule, strip_prefix, visformer_key
+
+    sd, _ = load_torch_state_dict(path)
+    enc_sd = strip_prefix(sd, "encoder.") or sd
+    enc_fn = encoder_key_fn or visformer_key
+    return convert_by_rule(target_encoder_vars, enc_sd,
+                           lambda col, p: enc_fn(col, p))

@@ -47,17 +47,23 @@ def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED, dtype=jnp.float32
     variables = jax.tree_util.tree_map(
         np.asarray, head.init(jax.random.key(seed), xs0, xq0)
     )
+    enc_name = cfg.get("encoder", cfg.get("model_args.encoder", "visformer_micro_80"))
     path = cfg.get("load") or cfg.get("load_encoder")
     if path is None:
         return head, variables
-    if str(path).endswith(".pth"):
-        variables = load_reference_head_checkpoint(path, head, variables)
+    if cfg.get("load") and str(path).endswith(".pth"):
+        from ..checkpoint import encoder_key_fn_for
+
+        variables = load_reference_head_checkpoint(
+            path, head, variables, encoder_key_fn_for(enc_name))
     else:
         if cfg.get("load"):
             saved, _ = load_variables(path)
             variables = saved
         else:
-            enc_vars = load_encoder_from_checkpoint(path, sub_variables(variables, "encoder"))
+            # load_encoder: orbax dir or reference .pth, encoder subtree only
+            enc_vars = load_encoder_from_checkpoint(
+                path, sub_variables(variables, "encoder"), enc_name)
             for col, tree in enc_vars.items():
                 variables.setdefault(col, {})["encoder"] = tree
     return head, variables

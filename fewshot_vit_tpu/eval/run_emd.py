@@ -97,18 +97,25 @@ def main():
         variables = head.init(jax.random.key(rng_mod.DEFAULT_SEED),
                               jnp.zeros((1, img, img, 3)))
     variables = jax.device_put(variables)
+    enc_name = cfg.get("model_args.encoder", "visformer_micro_80")
     path = cfg.get("load") or cfg.get("load_encoder")
     if path:
-        if str(path).endswith(".pth"):
+        if cfg.get("load") and str(path).endswith(".pth"):
             # reference SUN-D checkpoint ({'params': state_dict}, e.g. the
             # released max_acc.pth) through the torch converter
-            from ..checkpoint.io import load_reference_head_checkpoint
+            from ..checkpoint.io import (
+                encoder_key_fn_for,
+                load_reference_head_checkpoint,
+            )
 
-            variables = load_reference_head_checkpoint(path, head, variables)
+            variables = load_reference_head_checkpoint(
+                path, head, variables, encoder_key_fn_for(enc_name))
         elif cfg.get("load"):
             variables, _ = load_variables(path)
         else:
-            enc_vars = load_encoder_from_checkpoint(path, sub_variables(variables, "encoder"))
+            # load_encoder: orbax dir or reference .pth, encoder subtree only
+            enc_vars = load_encoder_from_checkpoint(
+                path, sub_variables(variables, "encoder"), enc_name)
             variables = dict(variables)
             for col, tree in enc_vars.items():
                 variables.setdefault(col, {})["encoder"] = tree

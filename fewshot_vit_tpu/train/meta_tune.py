@@ -89,7 +89,8 @@ def main(cfg, args) -> TrainState:
     load_enc = cfg.get("load_encoder")
     if load_enc:
         enc_vars = load_encoder_from_checkpoint(
-            load_enc, sub_variables(variables, "encoder")
+            load_enc, sub_variables(variables, "encoder"),
+            cfg.get("model_args.encoder", "visformer_micro_80"),
         )
         variables = jax.tree_util.tree_map(lambda x: x, variables)
         for col, tree in enc_vars.items():

@@ -126,6 +126,30 @@ def make_emd_episode_fn(
     return fn
 
 
+def validate_episode_mesh(mesh_shape, grad_accum, ep_per_batch):
+    """The one validator for `mesh:` episode parallelism, shared by the CLI
+    (before it builds the mesh) and ``make_emd_epoch_fn`` (the library entry)
+    so the two paths cannot drift."""
+    if grad_accum:
+        raise ValueError(
+            "mesh episode parallelism shards the vmapped task batch; it "
+            "is incompatible with grad_accum=True (sequential episodes) — "
+            "running the scan over a sharded mesh would reintroduce the "
+            "replicated-grouped-conv image gather this path exists to "
+            "prevent. Drop grad_accum — the mesh already bounds per-chip "
+            "activation memory to one episode.")
+    if "data" not in mesh_shape:
+        raise ValueError(
+            f"mesh {mesh_shape} has no 'data' axis — SUN-D episode "
+            "parallelism shards the task batch over a data axis "
+            "(e.g. mesh: {data: 8}). Tensor-parallel-only meshes belong to "
+            "the pretrain/SUN phases.")
+    if ep_per_batch % mesh_shape["data"]:
+        raise ValueError(
+            f"bs={ep_per_batch} must divide evenly over the mesh data "
+            f"axis ({mesh_shape['data']})")
+
+
 def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False,
                       mesh=None):
     """jit: (state, images u8, idx (S, E, way*(shot+query)) interleaved, rng)
@@ -159,22 +183,7 @@ def make_emd_epoch_fn(episode_fn, tx, labels, ep_per_batch, grad_accum=False,
     bit-exact-reference mode for that pathology.
     """
     if mesh is not None:
-        if grad_accum:
-            raise ValueError(
-                "mesh episode parallelism shards the vmapped task batch; it "
-                "is incompatible with grad_accum=True (sequential episodes) — "
-                "running the scan over a sharded mesh would reintroduce the "
-                "replicated-grouped-conv image gather this path exists to "
-                "prevent")
-        if "data" not in mesh.shape:
-            raise ValueError(
-                f"mesh {dict(mesh.shape)} has no 'data' axis — SUN-D episode "
-                "parallelism shards the task batch over a data axis "
-                "(e.g. mesh: {data: 8})")
-        if ep_per_batch % mesh.shape["data"]:
-            raise ValueError(
-                f"bs={ep_per_batch} must divide evenly over the mesh data "
-                f"axis ({mesh.shape['data']})")
+        validate_episode_mesh(dict(mesh.shape), grad_accum, ep_per_batch)
 
     def epoch_fn_inner(state, images, idx, rng):
         def body(state, scan_in):
@@ -376,7 +385,9 @@ def main(cfg, args) -> TrainState:
     variables = jax.device_put(variables)
     load_enc = cfg.get("load_encoder")
     if load_enc:
-        enc_vars = load_encoder_from_checkpoint(load_enc, sub_variables(variables, "encoder"))
+        enc_vars = load_encoder_from_checkpoint(
+            load_enc, sub_variables(variables, "encoder"),
+            cfg.get("model_args.encoder", "visformer_micro_80"))
         variables = dict(variables)
         for col, tree in enc_vars.items():
             variables.setdefault(col, {})["encoder"] = tree
@@ -402,27 +413,10 @@ def main(cfg, args) -> TrainState:
 
         from ..parallel import make_mesh, param_shardings, replicated
 
-        if bool(cfg.get("grad_accum", False)):
-            raise ValueError(
-                "mesh episode parallelism shards the vmapped task batch; it "
-                "is incompatible with grad_accum: true (sequential episodes). "
-                "Drop grad_accum — the mesh already bounds per-chip activation "
-                "memory to one episode."
-            )
-        mesh = make_mesh({k: int(v) for k, v in dict(mesh_cfg).items()})
-        if "data" not in mesh.shape:
-            raise ValueError(
-                f"mesh: {dict(mesh.shape)} has no 'data' axis — SUN-D meta "
-                "tuning parallelizes over EPISODES, so the mesh must name a "
-                "data axis (e.g. mesh: {data: 8}). Tensor-parallel-only "
-                "meshes belong to the pretrain/SUN phases."
-            )
-        n_data = mesh.shape["data"]
-        if ep_per_batch % n_data:
-            raise ValueError(
-                f"bs={ep_per_batch} must be a multiple of the mesh data axis "
-                f"({n_data}) to shard the episode axis evenly"
-            )
+        shape = {k: int(v) for k, v in dict(mesh_cfg).items()}
+        validate_episode_mesh(shape, bool(cfg.get("grad_accum", False)),
+                              ep_per_batch)
+        mesh = make_mesh(shape)
         logger.log(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
         pshard = param_shardings(mesh, state.params)
         params = jax.tree_util.tree_map(jax.device_put, state.params, pshard)

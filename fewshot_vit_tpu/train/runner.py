@@ -251,9 +251,21 @@ def emd_fs_eval(
     return {"emd_acc": float(m), "emd_ci": float(h)}
 
 
-def load_encoder_from_checkpoint(path: str, target_encoder_vars: Any) -> Any:
-    """Load encoder variables from an orbax checkpoint of any head-wrapped
-    model (reference ``load_encoder``, ``test_few_shot.py:56-63``)."""
+def load_encoder_from_checkpoint(path: str, target_encoder_vars: Any,
+                                 encoder_name: str = None) -> Any:
+    """Load encoder variables from a checkpoint of any head-wrapped model
+    (reference ``load_encoder``, ``test_few_shot.py:56-63``): an orbax dir, or
+    a reference ``.pth`` through the torch converter (head params discarded,
+    as ``models.load(...).encoder`` does — ``train_meta.py:124-125``).
+    ``encoder_name`` picks the torch key rule; default is the visformer rule."""
+    if str(path).endswith(".pth"):
+        from ..checkpoint.io import (
+            encoder_key_fn_for,
+            load_reference_encoder_checkpoint,
+        )
+
+        return load_reference_encoder_checkpoint(
+            path, target_encoder_vars, encoder_key_fn_for(encoder_name))
     saved, _ = load_variables(path)
     out = {}
     for col in target_encoder_vars:

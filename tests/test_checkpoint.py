@@ -249,6 +249,49 @@ class TestTorchCheckpointIngestion:
             np.asarray(logits), want.numpy(), rtol=2e-3, atol=2e-3
         )
 
+    def test_load_encoder_pth_ignores_head_params(self, tmp_path):
+        """``load_encoder: *.pth`` converts ONLY the encoder subtree: the
+        reference loads the full saved model and keeps ``.encoder``, dropping
+        head params (``meta_tuning_sun_m/train_meta.py:124-125``) — so a
+        checkpoint carrying ``temp`` / ``classifier.*`` must load cleanly
+        instead of failing the converter's unconsumed-tensor check."""
+        import torch
+
+        from fewshot_vit_tpu.eval.episodic import sub_variables
+        from fewshot_vit_tpu.train.runner import load_encoder_from_checkpoint
+
+        ref = ref_loader.load_ref_model_module("sun_meta_training", "visformer")
+        torch.manual_seed(2)
+        net = ref.visformer_small_80().eval()
+        enc_sd = {"encoder." + k: v for k, v in net.state_dict().items()}
+
+        head = models.make("meta-baseline", encoder="visformer_micro_80")
+        variables = jax.tree_util.tree_map(
+            np.asarray,
+            head.init(jax.random.key(0), jnp.zeros((1, 2, 1, 80, 80, 3)),
+                      jnp.zeros((1, 2, 80, 80, 3))),
+        )
+
+        # ground truth: the encoder subtree of a full-head conversion
+        torch.save({"model_sd": dict(enc_sd, temp=torch.tensor(10.0))},
+                   str(tmp_path / "head.pth"))
+        full = load_reference_head_checkpoint(
+            str(tmp_path / "head.pth"), head, variables)
+
+        # the load_encoder source: same encoder + head params to be ignored
+        sd = dict(enc_sd, temp=torch.tensor(10.0))
+        sd["classifier.linear.weight"] = torch.zeros(64, 384)
+        sd["classifier.linear.bias"] = torch.zeros(64)
+        pth = str(tmp_path / "epoch-last.pth")
+        torch.save({"model": "classifier", "model_sd": sd}, pth)
+
+        enc_vars = load_encoder_from_checkpoint(
+            pth, sub_variables(variables, "encoder"), "visformer_micro_80")
+        for col in ("params", "batch_stats"):
+            jax.tree_util.tree_map(
+                np.testing.assert_allclose,
+                enc_vars[col], full[col]["encoder"])
+
     def test_sun_d_params_format(self, tmp_path):
         """SUN-D checkpoints use key 'params' and 'module.' prefixes."""
         import torch
