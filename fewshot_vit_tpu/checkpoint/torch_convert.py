@@ -369,10 +369,16 @@ for _n in ("resnet12", "resnet12-wide", "resnet18", "resnet50"):
     ENCODER_KEY_FNS[_n] = resnet_key
 ENCODER_KEY_FNS["convnet4"] = convnet4_key
 for _n in ("nest_nano_80", "nest_micro_80", "nest_micro_resembed_80",
-           "nest_micro_resembed_2x_80", "nest_12m_v3"):
+           "nest_micro_resembed_2x_80", "nest_12m_v3",
+           # research variants share the NesT layout (tests/test_variants.py
+           # converts them with nest_key)
+           "nest_micro_v2_gpsa", "nest_micro_v2_rel_80",
+           "nest_micro_resembed_ada_80"):
     ENCODER_KEY_FNS[_n] = nest_key
-for _n in ("swin_nano_patch4_window5_80", "swin_micro_resembed_80"):
+for _n in ("swin_nano_patch4_window5_80", "swin_micro_resembed_80",
+           "swin_micro_v2_resembed_ada_80"):
     ENCODER_KEY_FNS[_n] = swin_key
+ENCODER_KEY_FNS["resnet12-drop"] = resnet12_drop_key
 ENCODER_KEY_FNS["levit_micro_80"] = levit_key
 
 

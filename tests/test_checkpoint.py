@@ -195,6 +195,41 @@ class TestResumeEmaToggle:
                                       np.full((2, 2), 3.0))
 
 
+class TestEncoderKeyFnRegistry:
+    def test_every_registered_encoder_has_torch_key_rule(self):
+        """`load_encoder: *.pth` / head-.pth ingestion dispatch the torch key
+        rule by encoder name (``encoder_key_fn_for``); every encoder in the
+        model registry must have an explicit entry so a new encoder cannot
+        silently fall back to the visformer rule."""
+        from fewshot_vit_tpu.checkpoint.torch_convert import ENCODER_KEY_FNS
+        from fewshot_vit_tpu.core.registry import models as model_registry
+
+        encoders = [
+            n for n in model_registry.names()
+            if model_registry._ctors[n].__module__.startswith(
+                "fewshot_vit_tpu.models.")
+        ]
+        assert len(encoders) >= 29  # the zoo; heads live in .heads
+        missing = [n for n in encoders if n not in ENCODER_KEY_FNS]
+        assert not missing, f"encoders without a torch key rule: {missing}"
+
+    def test_variant_names_dispatch_to_family_rules(self):
+        """The research variants convert with their family's rule — the same
+        pairing their parity tests use (tests/test_variants.py)."""
+        from fewshot_vit_tpu.checkpoint import encoder_key_fn_for
+        from fewshot_vit_tpu.checkpoint.torch_convert import (
+            nest_key,
+            resnet12_drop_key,
+            swin_key,
+        )
+
+        assert encoder_key_fn_for("nest_micro_v2_gpsa") is nest_key
+        assert encoder_key_fn_for("nest_micro_v2_rel_80") is nest_key
+        assert encoder_key_fn_for("nest_micro_resembed_ada_80") is nest_key
+        assert encoder_key_fn_for("swin_micro_v2_resembed_ada_80") is swin_key
+        assert encoder_key_fn_for("resnet12-drop") is resnet12_drop_key
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not ref_loader.available(), reason="reference/torch not available")
 class TestTorchCheckpointIngestion:
