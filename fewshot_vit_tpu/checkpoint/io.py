@@ -219,11 +219,17 @@ def load_reference_head_checkpoint(
 
 
 def encoder_key_fn_for(encoder_name: str) -> Callable:
-    """Torch key rule for a registered encoder name (visformer rule when the
-    name is unregistered — a wrong pick fails loudly in ``convert_by_rule``)."""
-    from .torch_convert import ENCODER_KEY_FNS, visformer_key
+    """Torch key rule for a registered encoder name. Raises for an unknown
+    name: a silent family fallback would die later inside ``convert_by_rule``
+    with a misleading per-tensor KeyError instead of naming the real problem."""
+    from .torch_convert import ENCODER_KEY_FNS
 
-    return ENCODER_KEY_FNS.get(encoder_name, visformer_key)
+    try:
+        return ENCODER_KEY_FNS[encoder_name]
+    except KeyError:
+        raise KeyError(
+            f"no torch key rule for encoder {encoder_name!r}; known: "
+            f"{sorted(ENCODER_KEY_FNS)}") from None
 
 
 def load_reference_encoder_checkpoint(
@@ -243,6 +249,5 @@ def load_reference_encoder_checkpoint(
 
     sd, _ = load_torch_state_dict(path)
     enc_sd = strip_prefix(sd, "encoder.") or sd
-    enc_fn = encoder_key_fn or visformer_key
     return convert_by_rule(target_encoder_vars, enc_sd,
-                           lambda col, p: enc_fn(col, p))
+                           encoder_key_fn or visformer_key)

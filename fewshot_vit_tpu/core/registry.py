@@ -43,6 +43,10 @@ class Registry:
     def names(self) -> Iterable[str]:
         return sorted(self._ctors)
 
+    def ctor(self, name: str) -> Callable[..., Any]:
+        """The registered constructor (e.g. to inspect its defining module)."""
+        return self._ctors[name]
+
 
 # The two registries the framework uses, mirroring the reference's split
 # (models.make / datasets.make) but shared across all phases.

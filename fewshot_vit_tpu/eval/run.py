@@ -24,20 +24,20 @@ from .. import models as _models  # noqa: F401
 from .. import heads as _heads  # noqa: F401
 from ..data import datasets as _datasets  # noqa: F401
 from ..core.registry import datasets as dataset_registry
-from ..checkpoint import load_reference_head_checkpoint, load_variables
 from ..data.sampler import EpisodeSampler
 from ..ops.metric import l2_normalize, mean_confidence_interval, roc_auc
 from ..data.transforms import normalize
-from ..train.runner import load_encoder_from_checkpoint
+from ..train.runner import resolve_checkpoint_variables
 from .episodic import evaluate, evaluate_cached, sub_variables
 
 
 def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED, dtype=jnp.float32):
     """Build a meta-baseline head and load weights per config: 'load' (full
     head checkpoint, orbax dir or reference .pth) or 'load_encoder'."""
+    enc_name = cfg.get("encoder", cfg.get("model_args.encoder", "visformer_micro_80"))
     head = models.make(
         "meta-baseline",
-        encoder=cfg.get("encoder", cfg.get("model_args.encoder", "visformer_micro_80")),
+        encoder=enc_name,
         encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
         dtype=dtype,
     )
@@ -47,26 +47,7 @@ def load_model_for_eval(cfg, seed: int = rng_mod.DEFAULT_SEED, dtype=jnp.float32
     variables = jax.tree_util.tree_map(
         np.asarray, head.init(jax.random.key(seed), xs0, xq0)
     )
-    enc_name = cfg.get("encoder", cfg.get("model_args.encoder", "visformer_micro_80"))
-    path = cfg.get("load") or cfg.get("load_encoder")
-    if path is None:
-        return head, variables
-    if cfg.get("load") and str(path).endswith(".pth"):
-        from ..checkpoint import encoder_key_fn_for
-
-        variables = load_reference_head_checkpoint(
-            path, head, variables, encoder_key_fn_for(enc_name))
-    else:
-        if cfg.get("load"):
-            saved, _ = load_variables(path)
-            variables = saved
-        else:
-            # load_encoder: orbax dir or reference .pth, encoder subtree only
-            enc_vars = load_encoder_from_checkpoint(
-                path, sub_variables(variables, "encoder"), enc_name)
-            for col, tree in enc_vars.items():
-                variables.setdefault(col, {})["encoder"] = tree
-    return head, variables
+    return head, resolve_checkpoint_variables(cfg, head, variables, enc_name)
 
 
 def sauc_eval(head, variables, dataset, n_episodes, shot, query=15,

@@ -28,11 +28,9 @@ from ..core import rng as rng_mod
 from .. import models as _models  # noqa: F401
 from .. import heads as _heads  # noqa: F401
 from ..data import datasets as _datasets  # noqa: F401
-from ..checkpoint import load_variables
 from ..data.sampler import EpisodeSampler
 from ..ops.metric import normal_confidence_interval
-from ..train.runner import build_dataset, load_encoder_from_checkpoint
-from .episodic import sub_variables
+from ..train.runner import build_dataset, resolve_checkpoint_variables
 
 
 # shared eval programs (also used by train.meta_tune_emd's inline val/test)
@@ -97,28 +95,12 @@ def main():
         variables = head.init(jax.random.key(rng_mod.DEFAULT_SEED),
                               jnp.zeros((1, img, img, 3)))
     variables = jax.device_put(variables)
-    enc_name = cfg.get("model_args.encoder", "visformer_micro_80")
-    path = cfg.get("load") or cfg.get("load_encoder")
-    if path:
-        if cfg.get("load") and str(path).endswith(".pth"):
-            # reference SUN-D checkpoint ({'params': state_dict}, e.g. the
-            # released max_acc.pth) through the torch converter
-            from ..checkpoint.io import (
-                encoder_key_fn_for,
-                load_reference_head_checkpoint,
-            )
-
-            variables = load_reference_head_checkpoint(
-                path, head, variables, encoder_key_fn_for(enc_name))
-        elif cfg.get("load"):
-            variables, _ = load_variables(path)
-        else:
-            # load_encoder: orbax dir or reference .pth, encoder subtree only
-            enc_vars = load_encoder_from_checkpoint(
-                path, sub_variables(variables, "encoder"), enc_name)
-            variables = dict(variables)
-            for col, tree in enc_vars.items():
-                variables.setdefault(col, {})["encoder"] = tree
+    # `load:` reference SUN-D checkpoints ({'params': state_dict}, e.g. the
+    # released max_acc.pth) go through the torch converter; `load_encoder:`
+    # takes the encoder subtree only (orbax dir or reference .pth)
+    variables = resolve_checkpoint_variables(
+        cfg, head, variables,
+        cfg.get("model_args.encoder", "visformer_micro_80"))
 
     patch_fn = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
                              int(cfg.get("num_patch", 9)),

@@ -264,8 +264,9 @@ def load_encoder_from_checkpoint(path: str, target_encoder_vars: Any,
             load_reference_encoder_checkpoint,
         )
 
+        key_fn = encoder_key_fn_for(encoder_name) if encoder_name else None
         return load_reference_encoder_checkpoint(
-            path, target_encoder_vars, encoder_key_fn_for(encoder_name))
+            path, target_encoder_vars, key_fn)
     saved, _ = load_variables(path)
     out = {}
     for col in target_encoder_vars:
@@ -275,3 +276,34 @@ def load_encoder_from_checkpoint(path: str, target_encoder_vars: Any,
         else:  # checkpoint of a bare encoder
             out[col] = tree
     return out
+
+
+def resolve_checkpoint_variables(cfg, head, variables, encoder_name: str):
+    """Apply a config's ``load:`` / ``load_encoder:`` to freshly-initialized
+    ``variables`` — the one dispatch the eval CLIs share (reference
+    ``test_few_shot.py:52-63``): a full orbax save, a reference head ``.pth``
+    through the torch converter, or an encoder-only checkpoint (orbax dir or
+    reference ``.pth``, head params discarded). Returns ``variables``
+    unchanged when the config names no checkpoint."""
+    from ..eval.episodic import sub_variables
+
+    path = cfg.get("load") or cfg.get("load_encoder")
+    if not path:
+        return variables
+    if cfg.get("load"):
+        if str(path).endswith(".pth"):
+            from ..checkpoint.io import (
+                encoder_key_fn_for,
+                load_reference_head_checkpoint,
+            )
+
+            return load_reference_head_checkpoint(
+                path, head, variables, encoder_key_fn_for(encoder_name))
+        saved, _ = load_variables(path)
+        return saved
+    enc_vars = load_encoder_from_checkpoint(
+        path, sub_variables(variables, "encoder"), encoder_name)
+    variables = dict(variables)
+    for col, tree in enc_vars.items():
+        variables.setdefault(col, {})["encoder"] = tree
+    return variables

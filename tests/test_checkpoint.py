@@ -206,10 +206,10 @@ class TestEncoderKeyFnRegistry:
 
         encoders = [
             n for n in model_registry.names()
-            if model_registry._ctors[n].__module__.startswith(
+            if model_registry.ctor(n).__module__.startswith(
                 "fewshot_vit_tpu.models.")
         ]
-        assert len(encoders) >= 29  # the zoo; heads live in .heads
+        assert "visformer_micro_80" in encoders  # the filter found the zoo
         missing = [n for n in encoders if n not in ENCODER_KEY_FNS]
         assert not missing, f"encoders without a torch key rule: {missing}"
 
@@ -228,6 +228,14 @@ class TestEncoderKeyFnRegistry:
         assert encoder_key_fn_for("nest_micro_resembed_ada_80") is nest_key
         assert encoder_key_fn_for("swin_micro_v2_resembed_ada_80") is swin_key
         assert encoder_key_fn_for("resnet12-drop") is resnet12_drop_key
+
+    def test_unknown_encoder_name_fails_loudly(self):
+        """An unregistered name must raise by name here, not die later inside
+        convert_by_rule with a misleading per-tensor KeyError."""
+        from fewshot_vit_tpu.checkpoint import encoder_key_fn_for
+
+        with pytest.raises(KeyError, match="no torch key rule.*not_a_model"):
+            encoder_key_fn_for("not_a_model")
 
 
 @pytest.mark.slow
