@@ -83,7 +83,61 @@ diagnose() {
   python tools/activation_diff.py --ckpt "$ckpt" || true
 }
 
+run_sund() {
+  # Optional SUN-D leg: the released DeepEMD-grid checkpoint encodes its
+  # accuracy in the filename (69.68, meta_tuning_sun_d/eval.py:14); no CI is
+  # published, so the bar is the run's own CI plus the SUN-M 1-shot bar
+  # (0.45) as scale, with the measured Sinkhorn-vs-exact delta documented in
+  # docs/PARITY.md. 2000 episodes per meta_tuning_sun_d/README.md:36-39.
+  local ckpt="$1"
+  python - "$ckpt" "$MATERIALS" <<'PY'
+import re
+import subprocess
+import sys
+import tempfile
+
+ckpt, materials = sys.argv[1], sys.argv[2]
+cfg = tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False)
+cfg.write(f"""
+test_dataset: mini-imagenet
+test_dataset_args: {{root_path: {materials}, split: test}}
+model_args: {{encoder: visformer_micro_80}}
+deepemd: grid
+patch_list: [2, 3]
+patch_ratio: 2
+temperature: 12.5
+load: {ckpt}
+""")
+cfg.close()
+out = subprocess.run(
+    [sys.executable, "-m", "fewshot_vit_tpu.eval.run_emd", "--config", cfg.name,
+     "--shot", "1", "--episodes", "2000", "--cached"],
+    capture_output=True, text=True, timeout=7200,
+)
+sys.stderr.write(out.stderr[-2000:])
+print(out.stdout, end="")
+if out.returncode != 0:
+    sys.exit(out.returncode)
+m = re.search(r"acc=([0-9.]+) \+- ([0-9.]+)", out.stdout)
+if not m:
+    sys.exit(f"no acc line in output:\n{out.stdout}")
+acc, ci = float(m.group(1)), float(m.group(2))
+want = 69.68
+ok = abs(acc - want) <= 0.45 + ci
+print(f"SUN-D grid 1-shot: measured {acc:.2f} +- {ci:.2f} | published {want:.2f} "
+      f"(filename, no CI) | {'PASS' if ok else 'FAIL'}")
+sys.exit(0 if ok else 1)
+PY
+}
+
 status=0
 run_shot 1 "$CKPT1" || { status=1; diagnose "$CKPT1"; }
 run_shot 5 "$CKPT5" || { status=1; diagnose "$CKPT5"; }
+
+CKPT_D="$MATERIALS/SUN-DeepEMD-Grid-Visformer-miniImageNet-1shot-69.68.pth"
+if [ -f "$CKPT_D" ]; then
+  run_sund "$CKPT_D" || { status=1; diagnose "$CKPT_D"; }
+else
+  echo "SUN-D leg skipped: $CKPT_D not present (optional)"
+fi
 exit $status
