@@ -10,11 +10,14 @@ process deserializes and calls with zero model/framework code beyond jax
 Multi-platform export (``platforms=("cpu", "tpu")``) lets one artifact be
 built on a CPU dev box and served on TPU chips unchanged.
 
-Two artifact flavors:
+Three artifact flavors:
 
 * **episode scorer** — ``(x_shot, x_query) -> (E, Q, way) logits``: the full
   few-shot decision function (encoder + prototype head) at a fixed
   ``(way, shot, query)`` protocol, raw uint8 images in;
+* **EMD episode scorer** (``--emd``) — the SUN-D DeepEMD decision function:
+  interleaved episode images in, patch pipeline + encoder + SFC + Sinkhorn
+  matching baked into one blob;
 * **encoder** — ``images -> (B, C) pooled embeddings``: for feature stores
   and cached protocols (the one-time encode behind
   ``eval.episodic.evaluate_cached``).
@@ -140,6 +143,65 @@ def export_encoder(
     return jax_export.export(jax.jit(fn), platforms=_norm_platforms(platforms))(spec)
 
 
+def export_emd_episode_scorer(
+    head,
+    variables,
+    *,
+    way: int,
+    shot: int,
+    query: int,
+    image_size: int,
+    patch_fn,
+    sfc_kw=None,
+    ep_per_batch: int = 1,
+    mean: Tuple[float, ...] = MEAN,
+    std: Tuple[float, ...] = STD,
+    platforms: Optional[Sequence[str]] = None,
+    data_shards: int = 0,
+    seed: int = 0,
+) -> jax_export.Exported:
+    """Export the SUN-D DeepEMD episodic decision function (weights baked in).
+
+    The exported call takes ONE uint8 tensor per episode batch —
+    ``images (E, way*(shot+query), H, W, 3)`` in the protocol's interleaved
+    layout (index ``t*way + w`` -> class ``w``, item ``t``; items
+    ``0..shot-1`` are supports) — and returns ``(E, way*query, way)`` float32
+    EMD logits: patch pipeline, encoder, SFC prototype refinement (5-shot),
+    and the Sinkhorn optimal-transport matching all compile into the
+    artifact, exactly the eval-mode forward ``eval.run_emd`` runs per
+    episode (reference protocol: ``meta_tuning_sun_d/eval.py:36-104``).
+
+    The episode RNG is baked from ``seed`` for reproducible serving: grid/fcn
+    eval patches are deterministic anyway; under ``sampling`` mode the crop
+    pattern (and the 5-shot SFC minibatch order) is therefore FIXED across
+    calls — export one artifact per seed if crop diversity matters.
+
+    ``data_shards=N`` shards the episode axis over an N-way ``data`` mesh
+    (``ep_per_batch % N == 0``), as in ``export_episode_scorer``.
+    """
+    from ..train.meta_tune_emd import make_emd_episode_fn
+
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    ep_fn = make_emd_episode_fn(head, way, shot, query, patch_fn, mean, std,
+                                sfc=shot > 1, sfc_kw=sfc_kw)
+    key = jax.random.key(seed)
+
+    def fn(images):
+        keys = jax.random.split(key, images.shape[0])
+        return jax.vmap(lambda im, k: ep_fn(variables, im, k))(images, keys)
+
+    shape = (ep_per_batch, way * (shot + query), image_size, image_size, 3)
+    sharding = None
+    if data_shards:
+        if ep_per_batch % data_shards:
+            raise ValueError(
+                f"ep_per_batch={ep_per_batch} must divide over "
+                f"data_shards={data_shards}")
+        sharding = _data_sharding(data_shards, len(shape))
+    spec = jax.ShapeDtypeStruct(shape, jnp.uint8, sharding=sharding)
+    return jax_export.export(jax.jit(fn), platforms=_norm_platforms(platforms))(spec)
+
+
 def _norm_platforms(platforms: Optional[Sequence[str]]):
     if not platforms:
         return None
@@ -167,6 +229,10 @@ def main():
     p.add_argument("--ep-per-batch", type=int, default=1)
     p.add_argument("--encoder-only", action="store_true",
                    help="export images->embeddings instead of the episode scorer")
+    p.add_argument("--emd", action="store_true",
+                   help="export the SUN-D DeepEMD episode scorer instead "
+                        "(config uses the eval.run_emd schema: deepemd, "
+                        "patch_list, temperature, ...)")
     p.add_argument("--batch", type=int, default=128,
                    help="encoder artifact batch size (--encoder-only)")
     p.add_argument("--platforms", default="",
@@ -188,15 +254,37 @@ def main():
     from .run import load_model_for_eval
 
     cfg = load_config(args.config)
-    head, variables = load_model_for_eval(
-        cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
-    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.emd:
+        from ..core import models as model_registry
+
+        head = model_registry.make(
+            "deepemd",
+            encoder=cfg.get("model_args.encoder", "visformer_micro_80"),
+            encoder_args=dict(cfg.get("model_args.encoder_args", {}) or {}),
+            temperature=float(cfg.get("temperature", 12.5)),
+            solver_reg=float(cfg.get("solver_reg", 0.05)),
+            solver_iters=int(cfg.get("solver_iters", 100)),
+            solver=cfg.get("solver", "sinkhorn_detached"),
+            feature_pyramid=cfg.get("feature_pyramid"),
+            dtype=dtype,
+        )
+        img0 = int(cfg.get("image_size", 80))
+        variables = head.init(jax.random.key(0), jnp.zeros((1, img0, img0, 3)))
+        from ..train.runner import resolve_checkpoint_variables
+
+        variables = resolve_checkpoint_variables(
+            cfg, head, variables,
+            cfg.get("model_args.encoder", "visformer_micro_80"))
+    else:
+        head, variables = load_model_for_eval(cfg, dtype=dtype)
     # dataset stats are baked into the artifact's normalize; export does not
     # otherwise need the data, so a missing dataset falls back to the
     # ImageNet stats (every loader but cifar-fs uses them) with a note
+    ds_key = "test_dataset" if "test_dataset" in cfg else "dataset"
     try:
-        ds = dataset_registry.make(cfg.get("dataset", "mini-imagenet"),
-                                   **dict(cfg.get("dataset_args", {}) or {}))
+        ds = dataset_registry.make(cfg.get(ds_key, "mini-imagenet"),
+                                   **dict(cfg.get(ds_key + "_args", {}) or {}))
         ds_mean, ds_std = ds.mean, ds.std
     except (FileNotFoundError, OSError) as e:
         print(f"note: dataset not loadable ({e}); baking default "
@@ -204,7 +292,25 @@ def main():
         ds_mean, ds_std = MEAN, STD
     img = int(cfg.get("image_size", 80))
     platforms = [s for s in args.platforms.split(",") if s]
-    if args.encoder_only:
+    if args.emd:
+        from ..train.meta_tune_emd import make_patch_fn
+
+        mode = cfg.get("deepemd", "grid")
+        patch_fn = make_patch_fn(mode, cfg.get("patch_list", [2, 3]),
+                                 int(cfg.get("num_patch", 9)),
+                                 float(cfg.get("patch_ratio", 2.0)), img, False)
+        # standalone-eval SFC default is sfc_lr=100 (meta_tuning_sun_d/
+        # eval.py:41), matching eval.run_emd
+        sfc_kw = {"steps": int(cfg.get("sfc_update_step", 100)),
+                  "lr": float(cfg.get("sfc_lr", 100.0)),
+                  "batch_size": int(cfg.get("sfc_bs", 4))}
+        exp = export_emd_episode_scorer(
+            head, variables, way=args.way, shot=args.shot, query=args.query,
+            image_size=img, patch_fn=patch_fn, sfc_kw=sfc_kw,
+            ep_per_batch=args.ep_per_batch, mean=ds_mean, std=ds_std,
+            platforms=platforms, data_shards=args.data_shards,
+        )
+    elif args.encoder_only:
         exp = export_encoder(
             head.encoder, sub_variables(variables, "encoder"),
             image_size=img, batch=args.batch, mean=ds_mean, std=ds_std,
@@ -220,7 +326,8 @@ def main():
     save_exported(exp, args.out)
     import os
 
-    kind = "encoder" if args.encoder_only else "episode scorer"
+    kind = ("EMD episode scorer" if args.emd
+            else "encoder" if args.encoder_only else "episode scorer")
     plats = ",".join(exp.platforms)
     print(f"exported {kind} [{plats}] x{exp.nr_devices} device(s) -> "
           f"{args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")

@@ -151,6 +151,88 @@ class TestEncoderExport:
         np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-6)
 
 
+class TestEmdEpisodeScorerExport:
+    def _head_and_vars(self):
+        from fewshot_vit_tpu.heads.deepemd import DeepEMD
+
+        head = DeepEMD(encoder=TinyEncoder(), solver_iters=10)
+        variables = head.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
+        return head, variables
+
+    def _patch_fn(self):
+        from fewshot_vit_tpu.train.meta_tune_emd import make_patch_fn
+
+        return make_patch_fn("grid", [2, 3], 9, 2.0, IMG, False)
+
+    def test_roundtrip_matches_live_episode_fn(self, tmp_path):
+        """The artifact must reproduce the live eval-mode DeepEMD episode
+        forward (patches + encoder + Sinkhorn) bit-for-bit with the same
+        baked rng."""
+        from fewshot_vit_tpu.eval.export import export_emd_episode_scorer
+        from fewshot_vit_tpu.train.meta_tune_emd import make_emd_episode_fn
+
+        head, variables = self._head_and_vars()
+        mean, std = (0.4, 0.5, 0.6), (0.2, 0.25, 0.3)
+        epb, shot = 2, 1
+        exp = export_emd_episode_scorer(
+            head, variables, way=WAY, shot=shot, query=QUERY,
+            image_size=IMG, patch_fn=self._patch_fn(),
+            ep_per_batch=epb, mean=mean, std=std, seed=0,
+        )
+        path = str(tmp_path / "emd.stablehlo")
+        save_exported(exp, path)
+        loaded = load_exported(path)
+
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(
+            0, 256, (epb, WAY * (shot + QUERY), IMG, IMG, 3)).astype(np.uint8)
+        got = np.asarray(loaded.call(imgs))
+        assert got.shape == (epb, WAY * QUERY, WAY)
+
+        ep_fn = make_emd_episode_fn(head, WAY, shot, QUERY, self._patch_fn(),
+                                    mean, std, sfc=False)
+        keys = jax.random.split(jax.random.key(0), epb)
+        want = np.asarray(jax.vmap(
+            lambda im, k: ep_fn(variables, im, k))(jnp.asarray(imgs), keys))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_multishot_sfc_compiles_into_artifact(self, tmp_path):
+        """shot>1 bakes the SFC inner optimization (lax.scan of SGD steps)
+        into the blob; logits must match the live SFC path with the same
+        baked rng."""
+        from fewshot_vit_tpu.eval.export import export_emd_episode_scorer
+        from fewshot_vit_tpu.train.meta_tune_emd import make_emd_episode_fn
+
+        head, variables = self._head_and_vars()
+        shot = 2
+        # modest lr: the protocol's lr=100 amplifies the ~1e-6 compiled-
+        # artifact-vs-live fusion jitter through the SGD steps; this test
+        # pins the export WIRING (SFC numerics vs the reference are pinned
+        # in tests/test_deepemd.py / test_sund_protocol_parity.py)
+        sfc_kw = {"steps": 3, "lr": 0.5, "batch_size": 4}
+        exp = export_emd_episode_scorer(
+            head, variables, way=WAY, shot=shot, query=QUERY,
+            image_size=IMG, patch_fn=self._patch_fn(), sfc_kw=sfc_kw,
+            ep_per_batch=1, seed=3,
+        )
+        path = str(tmp_path / "emd_sfc.stablehlo")
+        save_exported(exp, path)
+        loaded = load_exported(path)
+        rng = np.random.default_rng(6)
+        imgs = rng.integers(
+            0, 256, (1, WAY * (shot + QUERY), IMG, IMG, 3)).astype(np.uint8)
+        got = np.asarray(loaded.call(imgs))
+
+        from fewshot_vit_tpu.data.transforms import MEAN, STD
+
+        ep_fn = make_emd_episode_fn(head, WAY, shot, QUERY, self._patch_fn(),
+                                    MEAN, STD, sfc=True, sfc_kw=sfc_kw)
+        keys = jax.random.split(jax.random.key(3), 1)
+        want = np.asarray(jax.vmap(
+            lambda im, k: ep_fn(variables, im, k))(jnp.asarray(imgs), keys))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 class TestExportCLI:
     def _write_cfg(self, tmp_path):
         cfg = tmp_path / "export.yaml"
@@ -221,6 +303,37 @@ class TestExportCLI:
             normalize(jnp.asarray(imgs), ds.mean, ds.std), train=False,
         )
         np.testing.assert_allclose(emb, np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def test_cli_emd(self, tmp_path, capsys, monkeypatch):
+        """--emd exports the SUN-D DeepEMD episode scorer through the real
+        CLI (run_emd config schema)."""
+        cfg = tmp_path / "emd.yaml"
+        cfg.write_text(
+            "test_dataset: synthetic\n"
+            "test_dataset_args: {n_classes: 4, n_per_class: 8, image_size: 16, seed: 0}\n"
+            "model_args: {encoder: convnet4}\n"
+            "deepemd: grid\n"
+            "patch_list: [2, 3]\n"
+            "patch_ratio: 2\n"
+            "image_size: 16\n"
+            "solver_iters: 10\n"
+        )
+        out = tmp_path / "emd.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["export", "--config", str(cfg), "--out", str(out), "--emd",
+             "--way", "2", "--shot", "1", "--query", "2"],
+        )
+        from fewshot_vit_tpu.eval.export import main
+
+        main()
+        assert out.exists() and out.stat().st_size > 0
+        assert "exported EMD episode scorer" in capsys.readouterr().out
+        loaded = load_exported(str(out))
+        rng = np.random.default_rng(8)
+        imgs = rng.integers(0, 256, (1, 2 * 3, 16, 16, 3)).astype(np.uint8)
+        logits = np.asarray(loaded.call(imgs))
+        assert logits.shape == (1, 4, 2) and np.isfinite(logits).all()
 
     def test_cli_data_shards(self, tmp_path, capsys, monkeypatch, devices8):
         """--data-shards 8 builds an 8-chip artifact via AbstractMesh and the
