@@ -55,18 +55,22 @@ class ConvStem(nn.Module):
 
     hidden: int
     out: int
+    fold_bn: bool = False  # frozen-stats BNs pre-folded into the conv weights
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         conv = lambda f, s, name: nn.Conv(
-            f, (3, 3), strides=s, padding=1, use_bias=False,
+            f, (3, 3), strides=s, padding=1, use_bias=self.fold_bn,
             kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
         )
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
-        )
+        if self.fold_bn:
+            bn = lambda name: (lambda y: y)
+        else:
+            bn = lambda name: nn.BatchNorm(
+                use_running_average=bn_use_running_average(train), momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype, name=name,
+            )
         out = conv(self.hidden, 2, "conv1")(x)
         out = leaky_relu(bn("bn1")(out))
         out = conv(self.out, 1, "conv2")(out)
@@ -86,6 +90,7 @@ class Mlp(nn.Module):
     group: int = 8
     spatial_conv: bool = False
     drop: float = 0.0
+    first_bias: bool = False  # set when the preceding BN is folded into conv1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -94,12 +99,12 @@ class Mlp(nn.Module):
             hidden = self.dim * 5 // 6 if self.group < 2 else self.dim * 2
         else:
             hidden = int(self.dim * self.mlp_ratio)
-        dense = lambda f, name: nn.Dense(
-            f, use_bias=False, kernel_init=kaiming_out_init,
+        dense = lambda f, name, bias=False: nn.Dense(
+            f, use_bias=bias, kernel_init=kaiming_out_init,
             dtype=self.dtype, name=name,
         )
         drop = nn.Dropout(self.drop, deterministic=not train)
-        x = gelu(dense(hidden, "conv1")(x))
+        x = gelu(dense(hidden, "conv1", self.first_bias)(x))
         x = drop(x)
         if self.spatial_conv:
             x = nn.Conv(
@@ -177,6 +182,7 @@ class Block(nn.Module):
     group: int = 8
     attn_disabled: bool = False
     spatial_conv: bool = False
+    fold_bn: bool = False  # pre-norm BNs folded forward into qkv / mlp.conv1
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
@@ -184,26 +190,39 @@ class Block(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         dp = DropPath(self.drop_path, name="drop_path")
         if not self.attn_disabled:
-            y = BatchNorm(dtype=self.dtype, name="norm1")(x, train)
+            if self.fold_bn:
+                y = x
+            else:
+                y = BatchNorm(dtype=self.dtype, name="norm1")(x, train)
             y = Attention(
-                self.dim, self.num_heads, self.head_dim_ratio, self.qkv_bias,
+                self.dim, self.num_heads, self.head_dim_ratio,
+                self.qkv_bias or self.fold_bn,
                 self.attn_drop, self.drop, use_pallas=self.use_pallas,
                 dtype=self.dtype, name="attn",
             )(y, train)
             x = x + dp(y, deterministic=not train)
-        y = BatchNorm(dtype=self.dtype, name="norm2")(x, train)
+        if self.fold_bn:
+            y = x
+        else:
+            y = BatchNorm(dtype=self.dtype, name="norm2")(x, train)
         y = Mlp(
             self.dim, self.mlp_ratio, self.group, self.spatial_conv,
-            self.drop, dtype=self.dtype, name="mlp",
+            self.drop, first_bias=self.fold_bn, dtype=self.dtype, name="mlp",
         )(y, train)
         return x + dp(y, deterministic=not train)
 
 
 class PatchEmbed(nn.Module):
-    """Strided-conv patch embedding + BN (reference ``:268-290``)."""
+    """Strided-conv patch embedding + optional BN (reference ``:268-290``).
+
+    The reference only instantiates the norm when ``embedding_norm`` is passed
+    (``norm_pe = norm_layer is not None``, ``:278-280``); the registered SUN
+    variants pass BatchNorm, but ``net5``/``net5_80`` (``:490-499``) do not.
+    """
 
     patch: int
     dim: int
+    use_norm: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,7 +232,9 @@ class PatchEmbed(nn.Module):
             strides=(self.patch, self.patch), padding="VALID",
             kernel_init=kaiming_out_init, dtype=self.dtype, name="proj",
         )(x)
-        return BatchNorm(dtype=self.dtype, name="norm")(x, train)
+        if self.use_norm:
+            x = BatchNorm(dtype=self.dtype, name="norm")(x, train)
+        return x
 
 
 class Visformer(nn.Module):
@@ -232,6 +253,8 @@ class Visformer(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    embed_norm: bool = True  # reference ``embedding_norm`` arg (None for net5)
+    fold_bn: bool = False  # eval-only: frozen BNs pre-folded into conv/dense weights
     use_pallas_attn: bool = False
     dtype: Any = jnp.float32
 
@@ -260,7 +283,7 @@ class Visformer(nn.Module):
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=dpr[first + i], group=self.group,
                     attn_disabled=attn_off, spatial_conv=sp_conv,
-                    use_pallas=self.use_pallas_attn,
+                    fold_bn=self.fold_bn, use_pallas=self.use_pallas_attn,
                     dtype=self.dtype, name=f"{prefix}_{i}",
                 )(x, train)
             return x
@@ -268,23 +291,28 @@ class Visformer(nn.Module):
         # --- stage 1 (stride /4, dim D/2) ---
         if self.init_channels is not None:
             x = ConvStem(self.init_channels, self.embed_dim // 2,
-                         dtype=self.dtype, name="stem")(x, train)
+                         fold_bn=self.fold_bn, dtype=self.dtype, name="stem")(x, train)
             size = self.img_size // 4
         else:
-            x = PatchEmbed(8, self.embed_dim // 2, dtype=self.dtype,
-                           name="patch_embed1")(x, train)
+            x = PatchEmbed(8, self.embed_dim // 2,
+                           use_norm=self.embed_norm and not self.fold_bn,
+                           dtype=self.dtype, name="patch_embed1")(x, train)
             size = self.img_size // 8
         x = pos_drop(x + pos_embed("pos_embed1", size, self.embed_dim // 2))
         x = stage(x, "stage1", d1, 0, self.embed_dim // 2, 0.5, 0, train)
 
         # --- stage 2 (stride /8, dim D) ---
-        x = PatchEmbed(2, self.embed_dim, dtype=self.dtype, name="patch_embed2")(x, train)
+        x = PatchEmbed(2, self.embed_dim,
+                       use_norm=self.embed_norm and not self.fold_bn,
+                       dtype=self.dtype, name="patch_embed2")(x, train)
         size //= 2
         x = pos_drop(x + pos_embed("pos_embed2", size, self.embed_dim))
         x = stage(x, "stage2", d2, d1, self.embed_dim, 1.0, 1, train)
 
         # --- stage 3 (stride /16, dim 2D) ---
-        x = PatchEmbed(2, self.embed_dim * 2, dtype=self.dtype, name="patch_embed3")(x, train)
+        x = PatchEmbed(2, self.embed_dim * 2,
+                       use_norm=self.embed_norm and not self.fold_bn,
+                       dtype=self.dtype, name="patch_embed3")(x, train)
         size //= 2
         x = pos_drop(x + pos_embed("pos_embed3", size, self.embed_dim * 2))
         x = stage(x, "stage3", d3, d1 + d2, self.embed_dim * 2, 1.0, 2, train)
@@ -326,5 +354,5 @@ def net5_80(**kwargs: Any) -> Visformer:
     return Visformer(
         img_size=80, init_channels=32, embed_dim=384, depth=(4, 4, 4),
         num_heads=6, mlp_ratio=4.0, group=1, attn_stage="111",
-        spatial_conv="111", **kwargs,
+        spatial_conv="111", embed_norm=False, **kwargs,
     )
