@@ -62,6 +62,15 @@ def measure() -> dict:
     # and param init math is trivial
     with jax.default_device(jax.devices("cpu")[0]):
         variables = head.init(jax.random.key(0), xs, xq)
+    # frozen-BN folding (models/fold.py): the eval-mode BNs fold exactly into
+    # the adjacent conv/dense weights — measured +2.3% eps/s, |acc delta|
+    # 1e-4 (tools/fold_probe.py, 2026-08-20); exactness is unit-tested
+    # (tests/test_fold.py). The reference ships the same idea as LeViT
+    # .fuse() (sun_meta_training/models/levit.py:150-172).
+    from fewshot_vit_tpu.models.fold import fold_encoder_in_head
+
+    head, variables = fold_encoder_in_head(
+        head, jax.tree_util.tree_map(np.asarray, variables))
     variables = jax.device_put(variables, jax.devices()[0])
     images_dev = jax.device_put(ds.images)
 
