@@ -8,6 +8,11 @@ upsample to the image size, JET-colormap and alpha-blend (0.7 img / 0.3 map)
 onto the denormalized image, written as JPGs.
 
 Run: ``python -m fewshot_vit_tpu.eval.visualize --config configs/test_mini_1shot.yaml --out vis/ --n 16``
+
+``--real-attn`` instead captures the TRUE post-softmax attention from the
+live forward (every zoo attention module sows its weights — the reference's
+``DEBUG``/``attn_store`` hook, ``visformer.py:12,187-188``) and overlays the
+deepest block's head+query-averaged map.
 """
 
 from __future__ import annotations
@@ -33,6 +38,54 @@ def attention_maps(dense: jax.Array, num_heads: int = 16) -> jax.Array:
     attn = jnp.einsum("bqhd,bkhd->bhqk", cls, tokens) / (hd ** 0.5)
     attn = jax.nn.softmax(attn, axis=-1)
     amap = attn.mean(axis=(1, 2)).reshape(b, h, w)  # mean over heads + query
+    lo = amap.min(axis=(1, 2), keepdims=True)
+    hi = amap.max(axis=(1, 2), keepdims=True)
+    return (amap - lo) / jnp.maximum(hi - lo, 1e-8)
+
+
+def real_attention_maps(encoder, enc_vars, x: jax.Array) -> jax.Array:
+    """TRUE attention maps (B, H, W) in [0, 1] from a live forward.
+
+    The reference capability this matches is visformer's ``DEBUG=True``
+    ``attn_store`` hook (``sun_meta_training/models/visformer.py:12,187-188``)
+    — here every zoo attention module ``sow``s its post-softmax weights, so
+    one apply with ``mutable=["intermediates"]`` captures them all. The map is
+    the deepest attention block's weights averaged over heads and query
+    tokens (global attention (B, h, T, T) reshaped to the token grid; NesT's
+    blocked attention (B, T, h, N, N) deblockified back to the image plane).
+    """
+    from ..models.nest import deblockify
+
+    _, state = encoder.apply(
+        enc_vars, x, train=False, mutable=["intermediates"])
+
+    found = []  # (path_string, array) in name order
+
+    def walk(tree, path):
+        for k in sorted(tree):
+            v = tree[k]
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif k == "attn" and isinstance(v, tuple):
+                found.append(("/".join(path), v[0]))
+
+    walk(state["intermediates"], ())
+    if not found:
+        raise ValueError(
+            f"{type(encoder).__name__} sowed no attention — capture is wired "
+            "for visformer / nest / swin families")
+    attn = found[-1][1]  # deepest stage (name order == depth order in the zoo)
+    if attn.ndim == 4:  # (B, heads, q, k) over the flattened token grid
+        amap = attn.mean(axis=(1, 2))  # (B, T)
+        g = int(np.sqrt(amap.shape[-1]))
+        amap = amap.reshape(amap.shape[0], g, g)
+    elif attn.ndim == 5:  # NesT blocked: (B, T, heads, N, N)
+        amap = attn.mean(axis=(2, 3))  # (B, T, N)
+        n = amap.shape[-1]
+        bs = int(np.sqrt(n))
+        amap = deblockify(amap[..., None], bs)[..., 0]  # (B, H', W')
+    else:
+        raise ValueError(f"unexpected attention rank {attn.ndim}")
     lo = amap.min(axis=(1, 2), keepdims=True)
     hi = amap.max(axis=(1, 2), keepdims=True)
     return (amap - lo) / jnp.maximum(hi - lo, 1e-8)
@@ -70,6 +123,10 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--out", default="./vis")
     p.add_argument("--n", type=int, default=16)
+    p.add_argument("--real-attn", action="store_true",
+                   help="overlay TRUE post-softmax attention captured from "
+                        "the live forward (the reference's attn_store) "
+                        "instead of the template's feature-synthesized maps")
     args = p.parse_args()
     rng_mod.enable_compilation_cache()
     cfg = load_config(args.config)
@@ -91,8 +148,11 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     imgs = jnp.asarray(ds.images[: args.n])
     x = normalize(imgs, ds.mean, ds.std)
-    dense, _ = head.encoder.apply(enc_vars, x, train=False)
-    maps = np.asarray(attention_maps(dense))
+    if args.real_attn:
+        maps = np.asarray(real_attention_maps(head.encoder, enc_vars, x))
+    else:
+        dense, _ = head.encoder.apply(enc_vars, x, train=False)
+        maps = np.asarray(attention_maps(dense))
     x_np = np.asarray(x)
     for i in range(args.n):
         out = overlay(x_np[i], maps[i], ds.mean, ds.std)

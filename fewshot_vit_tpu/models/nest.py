@@ -75,6 +75,9 @@ class NestAttention(nn.Module):
         q, k, v = jnp.moveaxis(qkv, 3, 0)  # each (B, T, N, h, hd)
         attn = jnp.einsum("btqhd,btkhd->bthqk", q, k) * (hd ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
+        # real attention capture (see visformer.Attention): no-op unless the
+        # caller makes the "intermediates" collection mutable
+        self.sow("intermediates", "attn", attn)
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         # NB: the reference merges heads head-dim-MAJOR — ``(attn@v).permute(
         # 0,2,3,4,1).reshape(B,T,N,C)`` (``nest.py:86``), i.e. channel = d*H+h,

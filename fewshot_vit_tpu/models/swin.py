@@ -113,6 +113,9 @@ class WindowAttention(nn.Module):
                 mask, attn.dtype)[None, :, None]
             attn = attn.reshape(b_, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
+        # real attention capture (see visformer.Attention): no-op unless the
+        # caller makes the "intermediates" collection mutable
+        self.sow("intermediates", "attn", attn)
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b_, n, c)
         out = nn.Dense(c, kernel_init=trunc_normal_init(0.02),

@@ -158,6 +158,11 @@ class Attention(nn.Module):
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
             attn = jax.nn.softmax(attn, axis=-1)
+            # real attention capture (the reference's DEBUG attn_store,
+            # visformer.py:12,187-188): a flax sow — dead code under normal
+            # apply, materialized only when the caller passes
+            # mutable=["intermediates"] (eval/visualize.py --real-attn)
+            self.sow("intermediates", "attn", attn)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, h, w, heads * head_dim)
