@@ -36,15 +36,22 @@ if [ "$missing" = 1 ]; then
   exit 2
 fi
 
+# Drill hooks (tests/test_parity_drill.py): the measurement plumbing below —
+# acc-regex, CI-overlap arithmetic, PASS/FAIL branching, diagnose hook — is
+# exercised end-to-end on fabricated materials by overriding the episode
+# count and the expected numbers. Real runs leave these unset.
+EPISODES="${PARITY_EPISODES:-2000}"
+
 run_shot() {
   local shot="$1" ckpt="$2"
-  python - "$shot" "$ckpt" "$MATERIALS" <<'PY'
+  python - "$shot" "$ckpt" "$MATERIALS" "$EPISODES" <<'PY'
+import os
 import re
 import subprocess
 import sys
 import tempfile
 
-shot, ckpt, materials = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+shot, ckpt, materials, episodes = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
 cfg = tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False)
 cfg.write(f"""
 dataset: mini-imagenet
@@ -55,7 +62,7 @@ load: {ckpt}
 cfg.close()
 out = subprocess.run(
     [sys.executable, "-m", "fewshot_vit_tpu.eval.run", "--config", cfg.name,
-     "--shot", str(shot), "--episodes", "2000"],
+     "--shot", str(shot), "--episodes", episodes],
     capture_output=True, text=True, timeout=7200,
 )
 sys.stderr.write(out.stderr[-2000:])
@@ -67,6 +74,9 @@ if not m:
     sys.exit(f"no acc line in output:\n{out.stdout}")
 acc, ci = float(m.group(1)), float(m.group(2))
 want, bar = (67.80, 0.45) if shot == 1 else (83.25, 0.28)
+override = os.environ.get(f"PARITY_EXPECT_{shot}SHOT")
+if override:  # drill hook: "want bar"
+    want, bar = (float(v) for v in override.split())
 ok = abs(acc - want) <= bar + ci  # CI bars of both runs overlap the claim
 print(f"{shot}-shot: measured {acc:.2f} +- {ci:.2f} | published {want:.2f} +- {bar:.2f} "
       f"| {'PASS' if ok else 'FAIL'}")
