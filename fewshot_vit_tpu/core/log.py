@@ -91,7 +91,18 @@ class RunLogger:
         rng = np.random.default_rng(seed)
         idx = rng.choice(len(dataset), min(n_samples, len(dataset)),
                          replace=False)
-        imgs = np.asarray(dataset.images[np.sort(idx)])
+        return self.image_grid(f"visualize_{name}",
+                               np.asarray(dataset.images[np.sort(idx)]))
+
+    def image_grid(self, name: str, imgs_u8) -> Optional[str]:
+        """Write a square grid PNG of (N, H, W, 3) uint8 images into the run
+        dir as ``<name>.png``. Returns the written path."""
+        if self.save_dir is None:
+            return None
+        import numpy as np
+        from PIL import Image
+
+        imgs = np.asarray(imgs_u8, np.uint8)
         n = len(imgs)
         cols = int(np.ceil(np.sqrt(n)))
         rows = int(np.ceil(n / cols))
@@ -100,7 +111,7 @@ class RunLogger:
         for i, im in enumerate(imgs):
             r, c = divmod(i, cols)
             grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
-        path = os.path.join(self.save_dir, f"visualize_{name}.png")
+        path = os.path.join(self.save_dir, f"{name}.png")
         Image.fromarray(grid).save(path)
         return path
 

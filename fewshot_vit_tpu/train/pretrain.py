@@ -110,6 +110,9 @@ def main(cfg, args) -> TrainState:
         preprocess_fn = make_cropaug_fn(
             train_ds.mean, train_ds.std, out_size=int(cfg.get("image_size", 80))
         )
+        from .runner import visualize_augmented
+        visualize_augmented(logger, cfg, train_ds, preprocess_fn,
+                            train_ds.mean, train_ds.std)
     sam_kw = {}
     if cfg.get("optimizer") == "sam":
         oargs = dict(cfg.get("optimizer_args", {}) or {})

@@ -110,6 +110,33 @@ def visualize_datasets(logger, cfg: Config, **named_datasets) -> None:
             logger.visualize_dataset(ds, name)
 
 
+def visualize_augmented(logger, cfg: Config, dataset, aug_fn,
+                        mean, std, views=("aug",), n_samples: int = 16) -> None:
+    """``visualize_datasets: true`` -> one grid PNG per augmented VIEW of a
+    training batch, exactly as the model will see it (denormalized back to
+    uint8). The reference's grid shows post-transform samples
+    (``dataset[i][0]`` through ``convert_raw``,
+    ``sun_meta_training/utils/__init__.py:161-166``); with device-side
+    augmentation the equivalent human-inspectable artifact is this dump of
+    the real ``aug_fn`` output — ``visualize_train_aug.png`` (cropaug) or
+    ``visualize_train_{strong,weak}.png`` (SUN dual view)."""
+    if not cfg.get("visualize_datasets") or aug_fn is None:
+        return
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    idx = np.sort(rng.choice(len(dataset), min(n_samples, len(dataset)),
+                             replace=False))
+    out = aug_fn(dataset.images[idx], jax.random.key(0))
+    out = out if isinstance(out, tuple) else (out,)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    for vname, v in zip(views, out):
+        u8 = np.clip((np.asarray(v, np.float32) * std + mean) * 255.0, 0, 255)
+        logger.image_grid(f"visualize_train_{vname}", u8.astype(np.uint8))
+
+
 def build_optimizer(cfg: Config, params: Any, steps_per_epoch: int, batch_size: int = 0):
     """Optimizer + schedule from a phase config (reference styles unified)."""
     name = cfg.get("optimizer", "sgd")

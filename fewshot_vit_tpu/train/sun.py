@@ -130,6 +130,10 @@ def main(cfg, args) -> TrainState:
             out_size=int(cfg.get("image_size", 80)),
             strong_prob=float(cfg.get("strong_prob", 0.5)),
         )
+        from .runner import visualize_augmented
+        visualize_augmented(logger, cfg, train_ds, dual_view_fn,
+                            train_ds.mean, train_ds.std,
+                            views=("strong", "weak"))
     epoch_fn = make_sun_epoch(
         student, teacher, tx,
         dual_view_fn=dual_view_fn,

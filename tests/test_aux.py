@@ -131,6 +131,42 @@ class TestDatasetGrid:
         visualize_datasets(lg, Config({}), other=ds)
         assert not (tmp_path / "visualize_other.png").exists()
 
+    def test_augmented_grid_png(self, tmp_path):
+        """visualize_datasets also dumps POST-AUGMENTATION view grids — the
+        human-inspectable record of what a training batch looks like (the
+        reference grid shows post-transform samples,
+        sun_meta_training/utils/__init__.py:161-166). The dual view writes
+        one grid per view; denormalization must invert _normalize_255."""
+        from fewshot_vit_tpu.core.log import RunLogger
+        from fewshot_vit_tpu.core import Config
+        from fewshot_vit_tpu.core.registry import datasets
+        import fewshot_vit_tpu.data.datasets  # noqa: F401
+        from fewshot_vit_tpu.data.augment import make_dual_view_fn
+        from fewshot_vit_tpu.train.runner import visualize_augmented
+        from PIL import Image
+
+        ds = datasets.make("synthetic", n_classes=5, n_per_class=5, image_size=24)
+        fn = make_dual_view_fn(ds.mean, ds.std, out_size=16)
+        lg = RunLogger(str(tmp_path), stdout=False)
+        visualize_augmented(lg, Config({"visualize_datasets": True}), ds, fn,
+                            ds.mean, ds.std, views=("strong", "weak"))
+        for view in ("strong", "weak"):
+            p = tmp_path / f"visualize_train_{view}.png"
+            assert p.exists(), view
+            im = Image.open(p)
+            assert im.size == (4 * 16, 4 * 16)
+            # denormalized real pixels, not saturated garbage
+            arr = np.asarray(im)
+            assert 2 < arr.mean() < 253
+
+        # flag off / no aug fn -> nothing written
+        visualize_augmented(lg, Config({}), ds, fn, ds.mean, ds.std,
+                            views=("x",))
+        visualize_augmented(lg, Config({"visualize_datasets": True}), ds,
+                            None, ds.mean, ds.std, views=("y",))
+        assert not (tmp_path / "visualize_train_x.png").exists()
+        assert not (tmp_path / "visualize_train_y.png").exists()
+
 
 class TestFolderDatasets:
     def _make_tree(self, root, splits=("train",), n_cls=3, n_img=4, size=32):
