@@ -1,16 +1,23 @@
 """SUN-D DeepEMD eval throughput probe.
 
 Times the SAME run program ``eval/run_emd.py`` builds
-(``eval/emd_eval.py::make_emd_eval_run_fn``; grid mode, 5-way 1-shot
-15-query, visformer_micro_80, Sinkhorn flows) on synthetic data,
-steady-state, fetch-forced — direct at ep_per_batch 1 and 4, and the
-cached-nodes path. For context: the reference runs one cv2.EMD C++ simplex
-per (query, prototype) pair on CPU inside a Python double loop
+(``eval/emd_eval.py::make_emd_eval_run_fn``; 5-way 1-shot 15-query,
+visformer_micro_80, Sinkhorn flows) on synthetic data, steady-state,
+fetch-forced — direct at ep_per_batch 1 and 4, and the cached-nodes path.
+For context: the reference runs one cv2.EMD C++ simplex per
+(query, prototype) pair on CPU inside a Python double loop
 (``meta_tuning_sun_d/Models/models/Network.py:114-124``).
 
-Run: python tools/emd_probe.py
+``--mode sampling`` probes the random-9-crop pipeline
+(``sampling/mini_imagenet.py:52-58``): each episode draw re-crops every
+image with fresh RRC windows, so node features are NOT a pure function of
+the image — the cached path cannot apply by design and that leg is skipped
+with a note (VERDICT r4 #7).
+
+Run: python tools/emd_probe.py [--mode grid|sampling]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -21,6 +28,9 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("grid", "sampling"), default="grid")
+    args = ap.parse_args()
     from fewshot_vit_tpu.core.watchdog import watchdog_reexec
     watchdog_reexec(timeout_s=1800)
     import jax
@@ -52,7 +62,8 @@ def main():
     idx = (idx.reshape(n_episodes, way, shot + query)
            .transpose(0, 2, 1).reshape(n_episodes, -1).astype(np.int32))
     images_dev = jax.device_put(ds.images)
-    patch_fn = make_patch_fn("grid", [2, 3], 9, 2.0, 80, False)
+    patch_fn = make_patch_fn(args.mode, [2, 3], 9, 2.0, 80, False)
+    n_patch = 13 if args.mode == "grid" else 9  # grid pyramid 2x2+3x3; sampling 9 RRC
     key = rng_mod.root_key(0)
 
     def timed(run, variables, data, idx_g):
@@ -78,9 +89,17 @@ def main():
             dt, acc = timed(run, variables, images_dev,
                             jnp.asarray(group_episode_indices(idx, epb)))
             acc_direct = acc if acc_direct is None else acc_direct
-            print(f"SUN-D grid eval [{tag}] epb={epb}: {n_episodes/dt:7.1f} "
-                  f"episodes/s ({dt/n_episodes*1e3:.1f} ms/episode, 13-patch "
-                  f"grid, Sinkhorn; acc {acc:.4f})", flush=True)
+            print(f"SUN-D {args.mode} eval [{tag}] epb={epb}: {n_episodes/dt:7.1f} "
+                  f"episodes/s ({dt/n_episodes*1e3:.1f} ms/episode, "
+                  f"{n_patch}-patch {args.mode}, Sinkhorn; acc {acc:.4f})",
+                  flush=True)
+
+        if args.mode == "sampling":
+            print(f"SUN-D sampling eval [{tag}] --cached: N/A by design — "
+                  "crops are redrawn per episode, node features are not a "
+                  "pure function of the image, so there is nothing to cache",
+                  flush=True)
+            continue
 
         # cached: encode each image's nodes once, gather per episode
         cache_fn = make_emd_node_cache_fn(head, patch_fn, ds.mean, ds.std)
