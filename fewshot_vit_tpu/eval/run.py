@@ -96,6 +96,11 @@ def main():
     p.add_argument("--cached", action="store_true",
                    help="cached-features fast path (identical accuracy)")
     p.add_argument("--episodes", type=int, default=2000)
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold frozen-stats BNs into adjacent conv/dense "
+                        "weights before eval (exact transform, +~2%% "
+                        "throughput — models/fold.py; supported encoder "
+                        "families only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (+~17%% throughput; mean "
                         "accuracy measured identical, per-episode accs may flip)")
@@ -113,6 +118,11 @@ def main():
     head, variables = load_model_for_eval(
         cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
+    if args.fold_bn:
+        from ..models.fold import fold_encoder_in_head
+
+        head, variables = fold_encoder_in_head(
+            head, jax.tree_util.tree_map(np.asarray, variables))
     mesh = None
     if args.mesh_data:
         from ..parallel import make_mesh

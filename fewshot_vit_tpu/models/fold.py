@@ -20,10 +20,12 @@ compiler sees BN as two elementwise ops per call site, not as constants. The
 transform runs once on host at load time; the folded module (``fold_bn=True``
 on the encoder) then traces without any BN between matmuls.
 
-Use :func:`fold_visformer` on an encoder's variables, or
+Use :func:`fold_visformer` / :func:`fold_levit` on an encoder's variables, or
 :func:`fold_encoder_in_head` on a whole head (e.g. MetaBaseline) whose
-``encoder`` submodule supports ``fold_bn``. Exactness (not approximation) is
-asserted by ``tests/test_fold.py`` against the unfolded forward.
+``encoder`` submodule supports ``fold_bn`` (dispatched by family). Exactness
+(not approximation) is asserted by ``tests/test_fold.py`` against the
+unfolded forward; the user-facing wiring is ``eval.run --fold-bn`` and the
+bench default.
 """
 
 from __future__ import annotations
@@ -65,6 +67,18 @@ def _fold_before(layer: Dict[str, Any], m: np.ndarray, t: np.ndarray) -> Dict[st
     }
 
 
+def _fold_convstem(sub: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold the residual 3-conv stem's four conv+BN pairs (ConvStem)."""
+    d: Dict[str, Any] = {}
+    for conv, bn in (
+        ("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3"),
+        ("downsample_conv", "downsample_bn"),
+    ):
+        m, t = _affine(sub[bn], stats[bn])
+        d[conv] = _fold_after(sub[conv], m, t)
+    return d
+
+
 def fold_visformer(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Fold every foldable BN of a Visformer's variables.
 
@@ -83,14 +97,7 @@ def fold_visformer(variables: Dict[str, Any]) -> Dict[str, Any]:
             newp[name] = sub
             news[name] = S[name]
         elif name == "stem":
-            d: Dict[str, Any] = {}
-            for conv, bn in (
-                ("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3"),
-                ("downsample_conv", "downsample_bn"),
-            ):
-                m, t = _affine(sub[bn], S[name][bn])
-                d[conv] = _fold_after(sub[conv], m, t)
-            newp[name] = d
+            newp[name] = _fold_convstem(sub, S[name])
         elif name.startswith("patch_embed"):
             if "norm" in sub:
                 m, t = _affine(sub["norm"]["bn"], S[name]["norm"]["bn"])
@@ -114,7 +121,55 @@ def fold_visformer(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": newp, "batch_stats": news}
 
 
-_FOLDERS = {"Visformer": fold_visformer}
+def fold_levit(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold every BN of a LeViT's variables — the framework-level version of
+    the reference's own ``ConvNorm.fuse`` / ``LinearNorm.fuse``
+    (``sun_meta_training/models/levit.py:150-196``).
+
+    LeViT is fully post-norm: the ConvStem patch embed folds like the
+    visformer stem, and every ``LinearNorm`` ({'c': Dense, 'bn': BN}) folds
+    its BN backward into a biased Dense. No BN survives, so the returned
+    variables carry no ``batch_stats`` collection at all (matching a
+    ``fold_bn=True`` init)."""
+    P, S = variables["params"], variables["batch_stats"]
+
+    def walk(p: Dict[str, Any], s: Dict[str, Any]) -> Dict[str, Any]:
+        if "c" in p and "bn" in p:  # a LinearNorm
+            m, t = _affine(p["bn"], s["bn"])
+            return {"c": _fold_after(p["c"], m, t)}
+        out: Dict[str, Any] = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+            else:
+                out[k] = v  # attention_biases and other bare params
+        return out
+
+    newp: Dict[str, Any] = {}
+    for name, sub in P.items():
+        if name == "patch_embed":
+            newp[name] = _fold_convstem(sub, S[name])
+        elif isinstance(sub, dict):
+            newp[name] = walk(sub, S.get(name, {}))
+        else:
+            newp[name] = sub
+    return {"params": newp}
+
+
+def fold_resnet12(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold a ResNet-12's variables: every residual block is exactly the
+    ConvStem pattern (conv1-3 + 1x1 shortcut, each with a post-BN), so all
+    BNs fold backward into biased convs and no ``batch_stats`` survive."""
+    P, S = variables["params"], variables["batch_stats"]
+    return {"params": {name: _fold_convstem(sub, S[name])
+                       for name, sub in P.items()}}
+
+
+_FOLDERS = {
+    "Visformer": fold_visformer,
+    "Levit": fold_levit,
+    "ResNet12": fold_resnet12,
+}
 
 
 def fold_encoder_in_head(head, variables: Dict[str, Any]):

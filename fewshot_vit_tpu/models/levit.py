@@ -37,15 +37,23 @@ def hard_swish(x: jax.Array) -> jax.Array:
 
 
 class LinearNorm(nn.Module):
-    """Bias-free Dense + BatchNorm over the token-flattened batch."""
+    """Bias-free Dense + BatchNorm over the token-flattened batch.
+
+    ``fold_bn=True`` is the reference's own ``LinearNorm.fuse``
+    (``levit.py:174-196``): the frozen-stats BN pre-folded into a biased
+    Dense (weights transformed by ``models/fold.py::fold_levit``)."""
 
     features: int
     bn_weight_init: float = 1.0
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="c")(x)
+        x = nn.Dense(self.features, use_bias=self.fold_bn, dtype=self.dtype,
+                     name="c")(x)
+        if self.fold_bn:
+            return x
         return nn.BatchNorm(
             use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
             scale_init=nn.initializers.constant(self.bn_weight_init),
@@ -75,6 +83,7 @@ class LevitAttention(nn.Module):
     num_heads: int
     attn_ratio: int
     resolution: int
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,7 +91,8 @@ class LevitAttention(nn.Module):
         b, n, _ = x.shape
         kd, h = self.key_dim, self.num_heads
         d = self.attn_ratio * kd
-        qkv = LinearNorm(h * (2 * kd + d), dtype=self.dtype, name="qkv")(x, train)
+        qkv = LinearNorm(h * (2 * kd + d), fold_bn=self.fold_bn,
+                         dtype=self.dtype, name="qkv")(x, train)
         qkv = qkv.reshape(b, n, h, 2 * kd + d)
         q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
 
@@ -94,8 +104,8 @@ class LevitAttention(nn.Module):
         attn = jax.nn.softmax(attn + bias[None].astype(attn.dtype), axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, h * d)
         out = hard_swish(out)
-        return LinearNorm(self.dim, bn_weight_init=0.0, dtype=self.dtype,
-                          name="proj")(out, train)
+        return LinearNorm(self.dim, bn_weight_init=0.0, fold_bn=self.fold_bn,
+                          dtype=self.dtype, name="proj")(out, train)
 
 
 class LevitAttentionSubsample(nn.Module):
@@ -105,6 +115,7 @@ class LevitAttentionSubsample(nn.Module):
     attn_ratio: int
     resolution: int  # input resolution
     stride: int = 2
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,13 +126,15 @@ class LevitAttentionSubsample(nn.Module):
         res = self.resolution
         res_ = (res - 1) // self.stride + 1
 
-        kv = LinearNorm(h * (kd + d), dtype=self.dtype, name="kv")(x, train)
+        kv = LinearNorm(h * (kd + d), fold_bn=self.fold_bn, dtype=self.dtype,
+                        name="kv")(x, train)
         kv = kv.reshape(b, n, h, kd + d)
         k, v = jnp.split(kv, [kd], axis=-1)
 
         xq = x.reshape(b, res, res, c)[:, :: self.stride, :: self.stride]
         xq = xq.reshape(b, res_ * res_, c)
-        q = LinearNorm(h * kd, dtype=self.dtype, name="q")(xq, train)
+        q = LinearNorm(h * kd, fold_bn=self.fold_bn, dtype=self.dtype,
+                       name="q")(xq, train)
         q = q.reshape(b, res_ * res_, h, kd)
 
         idxs, n_off = _attention_bias_idxs(res_, res, self.stride)
@@ -132,20 +145,23 @@ class LevitAttentionSubsample(nn.Module):
         attn = jax.nn.softmax(attn + bias[None].astype(attn.dtype), axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, res_ * res_, h * d)
         out = hard_swish(out)
-        return LinearNorm(self.out_dim, dtype=self.dtype, name="proj")(out, train)
+        return LinearNorm(self.out_dim, fold_bn=self.fold_bn,
+                          dtype=self.dtype, name="proj")(out, train)
 
 
 class LevitMlp(nn.Module):
     dim: int
     hidden: int
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = LinearNorm(self.hidden, dtype=self.dtype, name="fc1")(x, train)
+        x = LinearNorm(self.hidden, fold_bn=self.fold_bn, dtype=self.dtype,
+                       name="fc1")(x, train)
         x = hard_swish(x)
-        return LinearNorm(self.dim, bn_weight_init=0.0, dtype=self.dtype,
-                          name="fc2")(x, train)
+        return LinearNorm(self.dim, bn_weight_init=0.0, fold_bn=self.fold_bn,
+                          dtype=self.dtype, name="fc2")(x, train)
 
 
 class Levit(nn.Module):
@@ -159,6 +175,7 @@ class Levit(nn.Module):
     mlp_ratio: int = 2
     stem_hidden: int = 64
     drop_path_rate: float = 0.0
+    fold_bn: bool = False  # frozen-stats BNs pre-folded (models/fold.py)
     dtype: Any = jnp.float32
 
     @property
@@ -168,7 +185,7 @@ class Levit(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         b = x.shape[0]
-        x = ConvStem(self.stem_hidden, self.embed_dim[0],
+        x = ConvStem(self.stem_hidden, self.embed_dim[0], fold_bn=self.fold_bn,
                      dtype=self.dtype, name="patch_embed")(x, train)
         # token grid from the ACTUAL stem output (its reduction is /4); a
         # patch_size-derived value would silently disagree for patch_size != 4
@@ -183,12 +200,13 @@ class Levit(nn.Module):
             for _ in range(self.depth[i]):
                 y = LevitAttention(
                     ed, self.key_dim, self.num_heads[i], self.attn_ratio,
-                    res, dtype=self.dtype, name=f"blocks_{idx}",
+                    res, fold_bn=self.fold_bn, dtype=self.dtype,
+                    name=f"blocks_{idx}",
                 )(x, train)
                 x = x + dp(y, deterministic=not train)
                 idx += 1
-                y = LevitMlp(ed, ed * self.mlp_ratio, dtype=self.dtype,
-                             name=f"blocks_{idx}")(x, train)
+                y = LevitMlp(ed, ed * self.mlp_ratio, fold_bn=self.fold_bn,
+                             dtype=self.dtype, name=f"blocks_{idx}")(x, train)
                 x = x + dp(y, deterministic=not train)
                 idx += 1
             if i < n_stages - 1:
@@ -196,13 +214,14 @@ class Levit(nn.Module):
                 # attn_ratio 4, mlp_ratio 2, stride 2 (reference :474-479)
                 x = LevitAttentionSubsample(
                     self.embed_dim[i + 1], self.key_dim,
-                    ed // self.key_dim, 4, res, 2,
+                    ed // self.key_dim, 4, res, 2, fold_bn=self.fold_bn,
                     dtype=self.dtype, name=f"blocks_{idx}_sub",
                 )(x, train)
                 idx += 1
                 res = (res - 1) // 2 + 1
                 y = LevitMlp(self.embed_dim[i + 1], self.embed_dim[i + 1] * 2,
-                             dtype=self.dtype, name=f"blocks_{idx}")(x, train)
+                             fold_bn=self.fold_bn, dtype=self.dtype,
+                             name=f"blocks_{idx}")(x, train)
                 x = x + dp(y, deterministic=not train)
                 idx += 1
 

@@ -19,18 +19,23 @@ from ..core.registry import models
 from .common import bn_use_running_average, global_avg_pool, kaiming_out_init, leaky_relu
 
 
-def _res12_residual(x: jax.Array, planes: int, train: bool, dtype: Any) -> jax.Array:
+def _res12_residual(x: jax.Array, planes: int, train: bool, dtype: Any,
+                    fold_bn: bool = False) -> jax.Array:
     """Triple 3x3 conv-BN + 1x1 BN shortcut (shared by both block variants;
     called inside a compact scope, so the submodule names land in the
-    caller's param tree unchanged)."""
+    caller's param tree unchanged). ``fold_bn=True``: frozen-stats BNs
+    pre-folded into biased convs (``models/fold.py::fold_resnet12``)."""
     conv = lambda f, k, name: nn.Conv(
-        f, (k, k), padding=k // 2, use_bias=False,
+        f, (k, k), padding=k // 2, use_bias=fold_bn,
         kernel_init=kaiming_out_init, dtype=dtype, name=name,
     )
-    bn = lambda name: nn.BatchNorm(
-        use_running_average=bn_use_running_average(train), momentum=0.9, epsilon=1e-5,
-        dtype=dtype, name=name,
-    )
+    if fold_bn:
+        bn = lambda name: (lambda y: y)
+    else:
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=bn_use_running_average(train), momentum=0.9,
+            epsilon=1e-5, dtype=dtype, name=name,
+        )
     out = leaky_relu(bn("bn1")(conv(planes, 3, "conv1")(x)))
     out = leaky_relu(bn("bn2")(conv(planes, 3, "conv2")(out)))
     out = bn("bn3")(conv(planes, 3, "conv3")(out))
@@ -40,16 +45,18 @@ def _res12_residual(x: jax.Array, planes: int, train: bool, dtype: Any) -> jax.A
 
 class Res12Block(nn.Module):
     planes: int
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        out = _res12_residual(x, self.planes, train, self.dtype)
+        out = _res12_residual(x, self.planes, train, self.dtype, self.fold_bn)
         return nn.max_pool(out, (2, 2), strides=(2, 2))
 
 
 class ResNet12(nn.Module):
     channels: Sequence[int] = (64, 128, 256, 512)
+    fold_bn: bool = False  # frozen-stats BNs pre-folded (models/fold.py)
     dtype: Any = jnp.float32
 
     @property
@@ -59,7 +66,8 @@ class ResNet12(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         for i, c in enumerate(self.channels):
-            x = Res12Block(c, dtype=self.dtype, name=f"layer{i + 1}")(x, train)
+            x = Res12Block(c, fold_bn=self.fold_bn, dtype=self.dtype,
+                           name=f"layer{i + 1}")(x, train)
         return x, global_avg_pool(x)
 
 

@@ -100,6 +100,54 @@ def test_fold_is_exact(name):
         np.asarray(pooled_f), np.asarray(pooled_u), rtol=1e-5, atol=1e-5 * scale)
 
 
+def test_fold_levit_is_exact():
+    """LeViT fold (the reference's own .fuse semantics, levit.py:150-196):
+    folded forward == unfolded eval forward, and NO batch_stats survive
+    (LeViT is fully post-norm — every BN has an adjacent matmul)."""
+    from fewshot_vit_tpu.models.fold import fold_levit
+
+    m = models.make("levit_micro_80")
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 80, 80, 3)).astype(np.float32))
+    variables = _randomized_stats(m.init(jax.random.key(0), x, train=False))
+    dense_u, pooled_u = m.apply(variables, x, train=False)
+
+    folded_vars = fold_levit(jax.tree_util.tree_map(np.asarray, variables))
+    assert "batch_stats" not in folded_vars
+    mf = models.make("levit_micro_80", fold_bn=True)
+    ref_struct = _tree_paths(mf.init(jax.random.key(1), x, train=False))
+    assert _tree_paths(folded_vars) == ref_struct
+
+    dense_f, pooled_f = mf.apply(folded_vars, x, train=False)
+    scale = float(np.abs(np.asarray(dense_u)).max())
+    np.testing.assert_allclose(
+        np.asarray(dense_f), np.asarray(dense_u), rtol=1e-5, atol=1e-5 * scale)
+    np.testing.assert_allclose(
+        np.asarray(pooled_f), np.asarray(pooled_u), rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_fold_levit_head_level():
+    """fold_encoder_in_head dispatches on Levit too (same head API)."""
+    head = models.make("meta-baseline", encoder="levit_micro_80")
+    xs = jnp.asarray(
+        np.random.default_rng(6).normal(size=(1, 3, 1, 80, 80, 3)).astype(np.float32))
+    xq = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 6, 80, 80, 3)).astype(np.float32))
+    variables = head.init(jax.random.key(0), xs, xq)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": _randomized_stats(
+            {"batch_stats": variables["batch_stats"]})["batch_stats"],
+    }
+    logits_u = head.apply(variables, xs, xq)
+    fhead, fvars = fold_encoder_in_head(
+        head, jax.tree_util.tree_map(np.asarray, variables))
+    assert "batch_stats" not in fvars or "encoder" not in fvars["batch_stats"]
+    logits_f = fhead.apply(fvars, xs, xq)
+    np.testing.assert_allclose(
+        np.asarray(logits_f), np.asarray(logits_u), rtol=1e-4, atol=1e-4)
+
+
 def test_fold_removes_bn_params():
     m = models.make("visformer_micro_80")
     x = jnp.zeros((1, 80, 80, 3))
@@ -134,8 +182,71 @@ def test_fold_head_level():
         np.asarray(logits_f), np.asarray(logits_u), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_fold_cli_flag_identical_accuracy(tmp_path):
+    """eval.run --fold-bn: same measured accuracy as the unfolded run on the
+    same config/seed (the user-facing wiring of the fold transform)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "dataset: synthetic\n"
+        "dataset_args: {n_classes: 8, n_per_class: 20, image_size: 80}\n"
+        "encoder: visformer_micro_80\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join([repo] + [p for p in sys.path if p])
+    env.setdefault("JAX_PLATFORMS", "cpu")
+
+    def run(extra):
+        out = subprocess.run(
+            [sys.executable, "-m", "fewshot_vit_tpu.eval.run", "--config",
+             str(cfg), "--shot", "1", "--episodes", "8", *extra],
+            capture_output=True, text=True, timeout=1200, cwd=repo, env=env)
+        assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+        m = re.search(r"acc=([0-9.]+) \+- ([0-9.]+)", out.stdout)
+        assert m, out.stdout
+        return float(m.group(1))
+
+    acc_u = run([])
+    acc_f = run(["--fold-bn"])
+    # fresh-init mean-0/var-1 stats make the transform numerically benign;
+    # any wiring bug (wrong module structure, dropped params) would move
+    # accuracy far beyond rounding
+    assert abs(acc_u - acc_f) < 0.5, (acc_u, acc_f)
+
+
+def test_fold_resnet12_is_exact():
+    """ResNet-12 fold: every residual block is the ConvStem pattern; folded
+    forward == unfolded eval forward, no batch_stats survive."""
+    from fewshot_vit_tpu.models.fold import fold_resnet12
+
+    m = models.make("resnet12-wide")
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 80, 80, 3)).astype(np.float32))
+    variables = _randomized_stats(m.init(jax.random.key(0), x, train=False))
+    dense_u, pooled_u = m.apply(variables, x, train=False)
+
+    folded_vars = fold_resnet12(jax.tree_util.tree_map(np.asarray, variables))
+    assert "batch_stats" not in folded_vars
+    mf = models.make("resnet12-wide", fold_bn=True)
+    ref_struct = _tree_paths(mf.init(jax.random.key(1), x, train=False))
+    assert _tree_paths(folded_vars) == ref_struct
+
+    dense_f, pooled_f = mf.apply(folded_vars, x, train=False)
+    scale = float(np.abs(np.asarray(dense_u)).max())
+    np.testing.assert_allclose(
+        np.asarray(dense_f), np.asarray(dense_u), rtol=1e-5, atol=1e-5 * scale)
+    np.testing.assert_allclose(
+        np.asarray(pooled_f), np.asarray(pooled_u), rtol=1e-5, atol=1e-5 * scale)
+
+
 def test_fold_unsupported_encoder_raises():
-    head = models.make("meta-baseline", encoder="resnet12")
+    head = models.make("meta-baseline", encoder="convnet4")
     xs = jnp.zeros((1, 5, 1, 80, 80, 3))
     xq = jnp.zeros((1, 5, 80, 80, 3))
     v = head.init(jax.random.key(0), xs, xq)
