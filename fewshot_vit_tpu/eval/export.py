@@ -41,6 +41,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import export as jax_export
 from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec
 
@@ -243,6 +244,10 @@ def main():
                         "over an N-way data mesh (exportable from a 1-chip box)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute inside the artifact")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold frozen-stats BNs into the baked weights "
+                        "(exact; serving-ready BN-free artifact — "
+                        "models/fold.py; supported encoder families only)")
     args = p.parse_args()
 
     from ..core import load_config
@@ -278,6 +283,14 @@ def main():
             cfg.get("model_args.encoder", "visformer_micro_80"))
     else:
         head, variables = load_model_for_eval(cfg, dtype=dtype)
+    if args.fold_bn:
+        if args.emd:
+            p.error("--fold-bn is not supported with --emd (the DeepEMD "
+                    "head keeps its own encoder wrapper)")
+        from ..models.fold import fold_encoder_in_head
+
+        head, variables = fold_encoder_in_head(
+            head, jax.tree_util.tree_map(np.asarray, variables))
     # dataset stats are baked into the artifact's normalize; export does not
     # otherwise need the data, so a missing dataset falls back to the
     # ImageNet stats (every loader but cifar-fs uses them) with a note

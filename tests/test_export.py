@@ -265,6 +265,47 @@ class TestExportCLI:
         xq = rng.integers(0, 256, (1, 4, 16, 16, 3)).astype(np.uint8)
         assert np.asarray(loaded.call(xs, xq)).shape == (1, 4, 2)
 
+    def test_cli_fold_bn(self, tmp_path, capsys, monkeypatch):
+        """--fold-bn bakes BN-free folded weights into the artifact; the
+        exported scorer must match the UNFOLDED live forward (the fold is an
+        exact transform, models/fold.py) on a supported family."""
+        cfg = tmp_path / "export_fold.yaml"
+        cfg.write_text(
+            "dataset: synthetic\n"
+            "dataset_args: {n_classes: 4, n_per_class: 8, image_size: 16, seed: 0}\n"
+            "encoder: resnet12\n"
+            "image_size: 16\n"
+        )
+        out = tmp_path / "scorer_folded.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["export", "--config", str(cfg), "--out", str(out),
+             "--way", "2", "--shot", "1", "--query", "2", "--fold-bn"],
+        )
+        from fewshot_vit_tpu.eval.export import main
+
+        main()
+        assert out.exists() and out.stat().st_size > 0
+
+        # live UNFOLDED reference logits on the same weights (seeded init
+        # path = load_model_for_eval's) — exactness through the baked fold
+        import jax
+        import jax.numpy as jnp
+
+        from fewshot_vit_tpu.core import Config
+        from fewshot_vit_tpu.data.transforms import normalize, MEAN, STD
+        from fewshot_vit_tpu.eval.run import load_model_for_eval
+
+        head, variables = load_model_for_eval(Config({"encoder": "resnet12",
+                                                      "image_size": 16}))
+        rng = np.random.default_rng(3)
+        xs = rng.integers(0, 256, (1, 2, 1, 16, 16, 3)).astype(np.uint8)
+        xq = rng.integers(0, 256, (1, 4, 16, 16, 3)).astype(np.uint8)
+        live = head.apply(variables, normalize(jnp.asarray(xs), MEAN, STD),
+                          normalize(jnp.asarray(xq), MEAN, STD))
+        got = np.asarray(load_exported(str(out)).call(xs, xq))
+        np.testing.assert_allclose(got, np.asarray(live), rtol=2e-4, atol=2e-4)
+
     def test_cli_encoder_only(self, tmp_path, capsys, monkeypatch):
         """--encoder-only exports images -> pooled embeddings (the artifact
         behind cached/feature-store protocols) through the real CLI, and the

@@ -12,6 +12,7 @@ MetaBaseline, full re-encode, bf16 activations, ep_per_batch=128), plus an
 accuracy cross-check between the two programs on the same episodes.
 
 Usage: python tools/fold_probe.py [--episodes 1024] [--ep-per-batch 128]
+       [--encoder visformer_micro_80|levit_micro_80|resnet12|resnet12-wide]
 """
 
 import argparse
@@ -28,6 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=1024)
     ap.add_argument("--ep-per-batch", type=int, default=128)
+    ap.add_argument("--encoder", default="visformer_micro_80")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
 
@@ -52,7 +54,7 @@ def main():
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     ds = datasets.make("synthetic", n_classes=20, n_per_class=600,
                        image_size=80, seed=0)
-    head = models.make("meta-baseline", encoder="visformer_micro_80", dtype=dtype)
+    head = models.make("meta-baseline", encoder=args.encoder, dtype=dtype)
     xs = jnp.zeros((1, way, shot, 80, 80, 3), jnp.float32)
     xq = jnp.zeros((1, way * query, 80, 80, 3), jnp.float32)
     with jax.default_device(jax.devices("cpu")[0]):
