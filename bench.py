@@ -29,10 +29,12 @@ import numpy as np
 from fewshot_vit_tpu.core.watchdog import watchdog_reexec
 
 
-def measure() -> dict:
+def measure(int8: bool = False) -> dict:
     """Run the headline benchmark; returns the result dict (also consumed by
     tools/perf_rounds.py for the round-over-round regression table). The
-    caller is responsible for the hang watchdog."""
+    caller is responsible for the hang watchdog. ``int8=True`` measures the
+    EXPERIMENTAL quantized encoder (models/quant.py) — reported under its
+    own metric name, never as the headline."""
     import jax
     import jax.numpy as jnp
 
@@ -67,10 +69,20 @@ def measure() -> dict:
     # 1e-4 (tools/fold_probe.py, 2026-08-20); exactness is unit-tested
     # (tests/test_fold.py). The reference ships the same idea as LeViT
     # .fuse() (sun_meta_training/models/levit.py:150-172).
-    from fewshot_vit_tpu.models.fold import fold_encoder_in_head
+    if int8:
+        from fewshot_vit_tpu.data.transforms import normalize
+        from fewshot_vit_tpu.models.quant import quantize_encoder_in_head
 
-    head, variables = fold_encoder_in_head(
-        head, jax.tree_util.tree_map(np.asarray, variables))
+        with jax.default_device(jax.devices("cpu")[0]):
+            calib = normalize(jnp.asarray(ds.images[:256]), ds.mean, ds.std)
+            head, variables = quantize_encoder_in_head(
+                head, jax.tree_util.tree_map(np.asarray, variables),
+                calib_images=calib)
+    else:
+        from fewshot_vit_tpu.models.fold import fold_encoder_in_head
+
+        head, variables = fold_encoder_in_head(
+            head, jax.tree_util.tree_map(np.asarray, variables))
     variables = jax.device_put(variables, jax.devices()[0])
     images_dev = jax.device_put(ds.images)
 
@@ -89,8 +101,11 @@ def measure() -> dict:
     eps_per_sec = n_episodes / dt
 
     target_per_chip = 10000.0 / 60.0 / 4.0  # v4-8 north star, per chip
+    name = "eval_episodes_per_sec_per_chip_5way1shot_full_protocol"
+    if int8:
+        name += "_int8_experimental"
     return {
-        "metric": "eval_episodes_per_sec_per_chip_5way1shot_full_protocol",
+        "metric": name,
         "value": round(eps_per_sec, 2),
         "unit": "episodes/s/chip",
         "vs_baseline": round(eps_per_sec / target_per_chip, 3),
@@ -98,10 +113,17 @@ def measure() -> dict:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="EXPERIMENTAL int8 encoder (models/quant.py); "
+                         "reported under its own metric name")
+    args = ap.parse_args()
     # Warm-cache runs finish in ~2 min; a cold remote compile adds a few
     # more. Past 1500s the device relay is hung — fail loudly.
     watchdog_reexec(timeout_s=1500)
-    print(json.dumps(measure()))
+    print(json.dumps(measure(int8=args.int8)))
 
 
 if __name__ == "__main__":

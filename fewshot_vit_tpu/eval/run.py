@@ -101,6 +101,11 @@ def main():
                         "weights before eval (exact transform, +~2%% "
                         "throughput — models/fold.py; supported encoder "
                         "families only)")
+    p.add_argument("--int8", action="store_true",
+                   help="EXPERIMENTAL: int8 weights + dynamic activation "
+                        "quant on the encoder (implies --fold-bn; "
+                        "models/quant.py — measured 1.5-1.6x MXU headroom, "
+                        "accuracy gated on synthetic protocol only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (+~17%% throughput; mean "
                         "accuracy measured identical, per-episode accs may flip)")
@@ -118,7 +123,15 @@ def main():
     head, variables = load_model_for_eval(
         cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
-    if args.fold_bn:
+    if args.int8:
+        from ..models.quant import quantize_encoder_in_head
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            calib = normalize(jnp.asarray(ds.images[:256]), ds.mean, ds.std)
+            head, variables = quantize_encoder_in_head(
+                head, jax.tree_util.tree_map(np.asarray, variables),
+                calib_images=calib)
+    elif args.fold_bn:
         from ..models.fold import fold_encoder_in_head
 
         head, variables = fold_encoder_in_head(

@@ -56,14 +56,24 @@ class ConvStem(nn.Module):
     hidden: int
     out: int
     fold_bn: bool = False  # frozen-stats BNs pre-folded into the conv weights
+    quant_int8: Any = False  # False | True (dynamic act) | "static" (models/quant.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        conv = lambda f, s, name: nn.Conv(
-            f, (3, 3), strides=s, padding=1, use_bias=self.fold_bn,
-            kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
-        )
+        if self.quant_int8:
+            from .quant import QuantConv
+
+            conv = lambda f, s, name: QuantConv(
+                f, (3, 3), strides=(s, s), padding=1, use_bias=self.fold_bn,
+                static_act=self.quant_int8 == "static",
+                dtype=self.dtype, name=name,
+            )
+        else:
+            conv = lambda f, s, name: nn.Conv(
+                f, (3, 3), strides=s, padding=1, use_bias=self.fold_bn,
+                kernel_init=kaiming_out_init, dtype=self.dtype, name=name,
+            )
         if self.fold_bn:
             bn = lambda name: (lambda y: y)
         else:
@@ -91,6 +101,7 @@ class Mlp(nn.Module):
     spatial_conv: bool = False
     drop: float = 0.0
     first_bias: bool = False  # set when the preceding BN is folded into conv1
+    quant_int8: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,20 +110,31 @@ class Mlp(nn.Module):
             hidden = self.dim * 5 // 6 if self.group < 2 else self.dim * 2
         else:
             hidden = int(self.dim * self.mlp_ratio)
-        dense = lambda f, name, bias=False: nn.Dense(
-            f, use_bias=bias, kernel_init=kaiming_out_init,
-            dtype=self.dtype, name=name,
-        )
+        if self.quant_int8:
+            from .quant import QuantConv, QuantDense
+
+            static = self.quant_int8 == "static"
+            dense = lambda f, name, bias=False: QuantDense(
+                f, use_bias=bias, static_act=static, dtype=self.dtype,
+                name=name)
+            conv2 = lambda: QuantConv(
+                hidden, (3, 3), padding=1, feature_group_count=self.group,
+                static_act=static, dtype=self.dtype, name="conv2")
+        else:
+            dense = lambda f, name, bias=False: nn.Dense(
+                f, use_bias=bias, kernel_init=kaiming_out_init,
+                dtype=self.dtype, name=name,
+            )
+            conv2 = lambda: nn.Conv(
+                hidden, (3, 3), padding=1, feature_group_count=self.group,
+                use_bias=False, kernel_init=kaiming_out_init,
+                dtype=self.dtype, name="conv2",
+            )
         drop = nn.Dropout(self.drop, deterministic=not train)
         x = gelu(dense(hidden, "conv1", self.first_bias)(x))
         x = drop(x)
         if self.spatial_conv:
-            x = nn.Conv(
-                hidden, (3, 3), padding=1, feature_group_count=self.group,
-                use_bias=False, kernel_init=kaiming_out_init,
-                dtype=self.dtype, name="conv2",
-            )(x)
-            x = gelu(x)
+            x = gelu(conv2()(x))
         x = dense(self.dim, "conv3")(x)
         return drop(x)
 
@@ -131,6 +153,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False  # fused kernel for long token axes (see kernels/)
+    quant_int8: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -140,10 +163,18 @@ class Attention(nn.Module):
         head_dim = round(self.dim // heads * self.head_dim_ratio)
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(
-            3 * heads * head_dim, use_bias=self.qkv_bias,
-            kernel_init=kaiming_out_init, dtype=self.dtype, name="qkv",
-        )(x)
+        if self.quant_int8:
+            from .quant import QuantDense
+
+            dense = lambda f, bias, name: QuantDense(
+                f, use_bias=bias, static_act=self.quant_int8 == "static",
+                dtype=self.dtype, name=name)
+        else:
+            dense = lambda f, bias, name: nn.Dense(
+                f, use_bias=bias, kernel_init=kaiming_out_init,
+                dtype=self.dtype, name=name,
+            )
+        qkv = dense(3 * heads * head_dim, self.qkv_bias, "qkv")(x)
         # channel layout matches the torch conv output: (3, heads, head_dim)
         qkv = qkv.reshape(b, h * w, 3, heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, T, heads, d)
@@ -166,10 +197,7 @@ class Attention(nn.Module):
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, h, w, heads * head_dim)
-        out = nn.Dense(
-            self.dim, use_bias=False, kernel_init=kaiming_out_init,
-            dtype=self.dtype, name="proj",
-        )(out)
+        out = dense(self.dim, False, "proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 
@@ -188,6 +216,7 @@ class Block(nn.Module):
     attn_disabled: bool = False
     spatial_conv: bool = False
     fold_bn: bool = False  # pre-norm BNs folded forward into qkv / mlp.conv1
+    quant_int8: Any = False
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
@@ -203,7 +232,7 @@ class Block(nn.Module):
                 self.dim, self.num_heads, self.head_dim_ratio,
                 self.qkv_bias or self.fold_bn,
                 self.attn_drop, self.drop, use_pallas=self.use_pallas,
-                dtype=self.dtype, name="attn",
+                quant_int8=self.quant_int8, dtype=self.dtype, name="attn",
             )(y, train)
             x = x + dp(y, deterministic=not train)
         if self.fold_bn:
@@ -212,7 +241,8 @@ class Block(nn.Module):
             y = BatchNorm(dtype=self.dtype, name="norm2")(x, train)
         y = Mlp(
             self.dim, self.mlp_ratio, self.group, self.spatial_conv,
-            self.drop, first_bias=self.fold_bn, dtype=self.dtype, name="mlp",
+            self.drop, first_bias=self.fold_bn, quant_int8=self.quant_int8,
+            dtype=self.dtype, name="mlp",
         )(y, train)
         return x + dp(y, deterministic=not train)
 
@@ -228,15 +258,26 @@ class PatchEmbed(nn.Module):
     patch: int
     dim: int
     use_norm: bool = True
+    quant_int8: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(
-            self.dim, (self.patch, self.patch),
-            strides=(self.patch, self.patch), padding="VALID",
-            kernel_init=kaiming_out_init, dtype=self.dtype, name="proj",
-        )(x)
+        if self.quant_int8:
+            from .quant import QuantConv
+
+            x = QuantConv(
+                self.dim, (self.patch, self.patch),
+                strides=(self.patch, self.patch), padding="VALID",
+                use_bias=True, static_act=self.quant_int8 == "static",
+                dtype=self.dtype, name="proj",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.dim, (self.patch, self.patch),
+                strides=(self.patch, self.patch), padding="VALID",
+                kernel_init=kaiming_out_init, dtype=self.dtype, name="proj",
+            )(x)
         if self.use_norm:
             x = BatchNorm(dtype=self.dtype, name="norm")(x, train)
         return x
@@ -260,6 +301,7 @@ class Visformer(nn.Module):
     drop_path_rate: float = 0.0
     embed_norm: bool = True  # reference ``embedding_norm`` arg (None for net5)
     fold_bn: bool = False  # eval-only: frozen BNs pre-folded into conv/dense weights
+    quant_int8: Any = False  # eval-only: False | True (dynamic) | "static" (needs fold_bn)
     use_pallas_attn: bool = False
     dtype: Any = jnp.float32
 
@@ -288,19 +330,25 @@ class Visformer(nn.Module):
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=dpr[first + i], group=self.group,
                     attn_disabled=attn_off, spatial_conv=sp_conv,
-                    fold_bn=self.fold_bn, use_pallas=self.use_pallas_attn,
+                    fold_bn=self.fold_bn, quant_int8=self.quant_int8,
+                    use_pallas=self.use_pallas_attn,
                     dtype=self.dtype, name=f"{prefix}_{i}",
                 )(x, train)
             return x
 
+        if self.quant_int8 and not self.fold_bn:
+            raise ValueError("quant_int8 requires fold_bn=True "
+                             "(quantize FOLDED weights, models/quant.py)")
         # --- stage 1 (stride /4, dim D/2) ---
         if self.init_channels is not None:
             x = ConvStem(self.init_channels, self.embed_dim // 2,
-                         fold_bn=self.fold_bn, dtype=self.dtype, name="stem")(x, train)
+                         fold_bn=self.fold_bn, quant_int8=self.quant_int8,
+                         dtype=self.dtype, name="stem")(x, train)
             size = self.img_size // 4
         else:
             x = PatchEmbed(8, self.embed_dim // 2,
                            use_norm=self.embed_norm and not self.fold_bn,
+                           quant_int8=self.quant_int8,
                            dtype=self.dtype, name="patch_embed1")(x, train)
             size = self.img_size // 8
         x = pos_drop(x + pos_embed("pos_embed1", size, self.embed_dim // 2))
@@ -309,6 +357,7 @@ class Visformer(nn.Module):
         # --- stage 2 (stride /8, dim D) ---
         x = PatchEmbed(2, self.embed_dim,
                        use_norm=self.embed_norm and not self.fold_bn,
+                       quant_int8=self.quant_int8,
                        dtype=self.dtype, name="patch_embed2")(x, train)
         size //= 2
         x = pos_drop(x + pos_embed("pos_embed2", size, self.embed_dim))
@@ -317,6 +366,7 @@ class Visformer(nn.Module):
         # --- stage 3 (stride /16, dim 2D) ---
         x = PatchEmbed(2, self.embed_dim * 2,
                        use_norm=self.embed_norm and not self.fold_bn,
+                       quant_int8=self.quant_int8,
                        dtype=self.dtype, name="patch_embed3")(x, train)
         size //= 2
         x = pos_drop(x + pos_embed("pos_embed3", size, self.embed_dim * 2))
