@@ -74,7 +74,11 @@ def measure(int8: bool = False) -> dict:
         from fewshot_vit_tpu.models.quant import quantize_encoder_in_head
 
         with jax.default_device(jax.devices("cpu")[0]):
-            calib = normalize(jnp.asarray(ds.images[:256]), ds.mean, ds.std)
+            # random sample — the dataset is class-contiguous, a prefix
+            # slice would calibrate activation scales on ~one class
+            idx = np.sort(np.random.default_rng(0).choice(
+                len(ds.images), size=min(256, len(ds.images)), replace=False))
+            calib = normalize(jnp.asarray(ds.images[idx]), ds.mean, ds.std)
             head, variables = quantize_encoder_in_head(
                 head, jax.tree_util.tree_map(np.asarray, variables),
                 calib_images=calib)

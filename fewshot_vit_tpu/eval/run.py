@@ -102,10 +102,12 @@ def main():
                         "throughput — models/fold.py; supported encoder "
                         "families only)")
     p.add_argument("--int8", action="store_true",
-                   help="EXPERIMENTAL: int8 weights + dynamic activation "
-                        "quant on the encoder (implies --fold-bn; "
-                        "models/quant.py — measured 1.5-1.6x MXU headroom, "
-                        "accuracy gated on synthetic protocol only)")
+                   help="EXPERIMENTAL: int8 encoder weights + static "
+                        "activation scales calibrated on a random sample of "
+                        "the eval set (implies --fold-bn; models/quant.py — "
+                        "measured SLOWER than bf16 end-to-end on v5e, see "
+                        "docs/KERNELS.md; accuracy gated on synthetic "
+                        "protocol only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (+~17%% throughput; mean "
                         "accuracy measured identical, per-episode accs may flip)")
@@ -127,7 +129,12 @@ def main():
         from ..models.quant import quantize_encoder_in_head
 
         with jax.default_device(jax.devices("cpu")[0]):
-            calib = normalize(jnp.asarray(ds.images[:256]), ds.mean, ds.std)
+            # random sample: dataset images are class-contiguous, so a
+            # prefix slice would calibrate the scales on ~one class
+            idx = rng_mod.np_rng(rng_mod.DEFAULT_SEED).choice(
+                len(ds.images), size=min(256, len(ds.images)), replace=False)
+            calib = normalize(jnp.asarray(ds.images[np.sort(idx)]),
+                              ds.mean, ds.std)
             head, variables = quantize_encoder_in_head(
                 head, jax.tree_util.tree_map(np.asarray, variables),
                 calib_images=calib)

@@ -54,38 +54,59 @@ def real_attention_maps(encoder, enc_vars, x: jax.Array) -> jax.Array:
     tokens (global attention (B, h, T, T) reshaped to the token grid; NesT's
     blocked attention (B, T, h, N, N) deblockified back to the image plane).
     """
+    import re
+
     from ..models.nest import deblockify
 
     _, state = encoder.apply(
         enc_vars, x, train=False, mutable=["intermediates"])
 
-    found = []  # (path_string, array) in name order
+    found = []  # (path_string, key, array) in depth order
+
+    def natkey(path):
+        # 'stage3_10' must sort after 'stage3_2': split digit runs to ints
+        return tuple(
+            tuple(int(s) if s.isdigit() else s for s in re.split(r"(\d+)", seg))
+            for seg in path
+        )
 
     def walk(tree, path):
-        for k in sorted(tree):
+        for k in sorted(tree, key=lambda s: natkey((s,))):
             v = tree[k]
             if isinstance(v, dict):
                 walk(v, path + (k,))
-            elif k == "attn" and isinstance(v, tuple):
-                found.append(("/".join(path), v[0]))
+            elif k in ("attn", "attn_map") and isinstance(v, tuple):
+                found.append(("/".join(path), k, v[0]))
 
     walk(state["intermediates"], ())
     if not found:
         raise ValueError(
             f"{type(encoder).__name__} sowed no attention — capture is wired "
             "for visformer / nest / swin families")
-    attn = found[-1][1]  # deepest stage (name order == depth order in the zoo)
-    if attn.ndim == 4:  # (B, heads, q, k) over the flattened token grid
-        amap = attn.mean(axis=(1, 2))  # (B, T)
-        g = int(np.sqrt(amap.shape[-1]))
-        amap = amap.reshape(amap.shape[0], g, g)
-    elif attn.ndim == 5:  # NesT blocked: (B, T, heads, N, N)
-        amap = attn.mean(axis=(2, 3))  # (B, T, N)
-        n = amap.shape[-1]
-        bs = int(np.sqrt(n))
-        amap = deblockify(amap[..., None], bs)[..., 0]  # (B, H', W')
+    # deepest attention block; prefer its image-plane 'attn_map' sow (swin
+    # windows are stitched + unshifted by the module itself) over raw weights
+    deepest = found[-1][0]
+    at_deepest = {k: v for p, k, v in found if p == deepest}
+    if "attn_map" in at_deepest:
+        amap = at_deepest["attn_map"]  # (B, H', W'), ready
     else:
-        raise ValueError(f"unexpected attention rank {attn.ndim}")
+        attn = at_deepest["attn"]
+        if attn.ndim == 4:  # (B, heads, q, k) over the flattened token grid
+            if attn.shape[0] != x.shape[0]:
+                raise ValueError(
+                    f"attention batch {attn.shape[0]} != image batch "
+                    f"{x.shape[0]} and no 'attn_map' sown — windowed "
+                    "attention without image-plane geometry")
+            amap = attn.mean(axis=(1, 2))  # (B, T)
+            g = int(np.sqrt(amap.shape[-1]))
+            amap = amap.reshape(amap.shape[0], g, g)
+        elif attn.ndim == 5:  # NesT blocked: (B, T, heads, N, N)
+            amap = attn.mean(axis=(2, 3))  # (B, T, N)
+            n = amap.shape[-1]
+            bs = int(np.sqrt(n))
+            amap = deblockify(amap[..., None], bs)[..., 0]  # (B, H', W')
+        else:
+            raise ValueError(f"unexpected attention rank {attn.ndim}")
     lo = amap.min(axis=(1, 2), keepdims=True)
     hi = amap.max(axis=(1, 2), keepdims=True)
     return (amap - lo) / jnp.maximum(hi - lo, 1e-8)

@@ -87,7 +87,9 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[np.ndarray], train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: Optional[np.ndarray], train: bool,
+                 grid: Optional[Tuple[int, int]] = None,
+                 shift: int = 0) -> jax.Array:
         b_, n, c = x.shape
         h = self.num_heads
         hd = c // h
@@ -116,6 +118,17 @@ class WindowAttention(nn.Module):
         # real attention capture (see visformer.Attention): no-op unless the
         # caller makes the "intermediates" collection mutable
         self.sow("intermediates", "attn", attn)
+        if grid is not None:
+            # visualization-ready map: the raw sow's leading axis is B*nW
+            # (window-partitioned), which a consumer cannot stitch or
+            # unshift without this block's geometry — so also sow the
+            # head+query-averaged map on the image plane, windows reversed
+            # and the cyclic shift undone.
+            h, w = grid
+            amap = window_reverse(attn.mean(axis=(1, 2))[..., None], ws, h, w)
+            if shift > 0:
+                amap = jnp.roll(amap, (shift, shift), axis=(1, 2))
+            self.sow("intermediates", "attn_map", amap[..., 0])
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b_, n, c)
         out = nn.Dense(c, kernel_init=trunc_normal_init(0.02),
@@ -155,7 +168,7 @@ class SwinBlock(nn.Module):
         attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, dtype=self.dtype, name="attn",
-        )(windows, mask, train)
+        )(windows, mask, train, grid=(h, w), shift=shift)
         y = window_reverse(attn, ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))

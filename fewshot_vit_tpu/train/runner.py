@@ -130,10 +130,10 @@ def visualize_augmented(logger, cfg: Config, dataset, aug_fn,
                              replace=False))
     out = aug_fn(dataset.images[idx], jax.random.key(0))
     out = out if isinstance(out, tuple) else (out,)
-    mean = np.asarray(mean, np.float32)
-    std = np.asarray(std, np.float32)
+    from ..data.transforms import denormalize
+
     for vname, v in zip(views, out):
-        u8 = np.clip((np.asarray(v, np.float32) * std + mean) * 255.0, 0, 255)
+        u8 = np.clip(np.asarray(denormalize(v, mean, std)) * 255.0, 0, 255)
         logger.image_grid(f"visualize_train_{vname}", u8.astype(np.uint8))
 
 

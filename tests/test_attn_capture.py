@@ -91,15 +91,62 @@ def test_nest_and_swin_capture():
         np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
 
 
-def test_real_attention_maps_visformer_and_nest():
-    for name in ("visformer_micro_80", "nest_nano_80"):
+def test_real_attention_maps_visformer_nest_swin():
+    for name, res in (("visformer_micro_80", 80), ("nest_nano_80", 80),
+                      ("swin_nano_patch4_window5_80", 96)):
         m = models.make(name)
         x = jnp.asarray(
-            np.random.default_rng(3).normal(size=(3, 80, 80, 3)).astype(np.float32))
+            np.random.default_rng(3).normal(size=(3, res, res, 3)).astype(np.float32))
         v = m.init(jax.random.key(0), x, train=False)
         maps = np.asarray(real_attention_maps(m, v, x))
-        assert maps.shape[0] == 3 and maps.ndim == 3
+        # one map PER IMAGE — for swin this is the regression: the raw sow's
+        # leading axis is B*num_windows, so the maps must come from the
+        # module's stitched 'attn_map' sow, not the raw weights
+        assert maps.shape[0] == 3 and maps.ndim == 3, (name, maps.shape)
         assert maps.shape[1] == maps.shape[2]
         assert float(maps.min()) >= 0.0 and float(maps.max()) <= 1.0 + 1e-6
         # min-max normalized: each image spans [0, 1]
         np.testing.assert_allclose(maps.max(axis=(1, 2)), 1.0, atol=1e-5)
+
+
+def test_swin_attn_map_stitches_windows():
+    """The sown 'attn_map' equals window_reverse(+unshift) of the raw sown
+    weights' head+query mean — per image, on the image plane."""
+    from fewshot_vit_tpu.models.swin import window_reverse
+
+    m = models.make("swin_nano_patch4_window5_80")
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 96, 96, 3)).astype(np.float32))
+    v = m.init(jax.random.key(0), x, train=False)
+    _, state = m.apply(v, x, train=False, mutable=["intermediates"])
+
+    pairs = {}  # path -> {leaf: array}
+
+    def walk(tree, path):
+        for k, sub in tree.items():
+            if isinstance(sub, dict):
+                walk(sub, path + (k,))
+            else:
+                pairs.setdefault("/".join(path), {})[k] = np.asarray(sub[0])
+
+    walk(state["intermediates"], ())
+    checked = 0
+    for path, leaves in pairs.items():
+        if "attn_map" not in leaves:
+            continue
+        raw, amap = leaves["attn"], leaves["attn_map"]
+        b = amap.shape[0]
+        hh, ww = amap.shape[1], amap.shape[2]
+        n = raw.shape[-1]
+        ws = int(np.sqrt(n))
+        mean = raw.mean(axis=(1, 2))[..., None]  # (B*nW, n, 1)
+        stitched = np.asarray(window_reverse(jnp.asarray(mean), ws, hh, ww))[..., 0]
+        # shifted blocks roll the map back; accept either alignment
+        match = np.allclose(stitched, amap, atol=1e-6) or any(
+            np.allclose(np.roll(stitched, (s, s), axis=(1, 2)), amap, atol=1e-6)
+            for s in range(1, ws)
+        )
+        assert match, path
+        assert amap.shape[0] == 2, path
+        checked += 1
+    assert checked > 0

@@ -110,15 +110,8 @@ def main():
         x = rng.integers(-80, 80, (b, t, cin)).astype(np.int8)
         wk = rng.integers(-80, 80, (cin, cout)).astype(np.int8)
 
-        def run(xx, ww):
-            acc = jnp.int32 if xx.dtype == jnp.int8 else jnp.float32
-            y = jax.lax.dot_general(
-                xx, ww, (((2,), (0,)), ((), ())), preferred_element_type=acc)
-            return (y >> 7) if xx.dtype == jnp.int8 else y * 0.01
-
-        # square-ish back-projection so the carry keeps x's shape: use
-        # cout->cin second matmul folded into run? Simpler: only time the
-        # forward op by chaining through a fixed projection back to cin.
+        # back-projection cout->cin keeps the carry at x's shape so the
+        # chained scan cannot hoist the timed matmul
         wb = rng.integers(-80, 80, (cout, cin)).astype(np.int8)
 
         def run2(xx, ww, wwb):
